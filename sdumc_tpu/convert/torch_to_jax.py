@@ -135,7 +135,10 @@ def torch_state_dict_to_params(
         if path is None or path[-1] is None:
             unmapped.append(key)
             continue
-        arr = np.asarray(
+        # np.array (not asarray): tensor.numpy() aliases torch storage; a
+        # view here would let later in-place torch updates mutate the
+        # "converted" params.
+        arr = np.array(
             value.detach().cpu().numpy() if hasattr(value, "detach") else value,
             dtype=np.float32,
         )

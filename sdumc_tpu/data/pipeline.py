@@ -1,0 +1,208 @@
+"""Host input pipeline: dataset assembly, batching, background prefetch.
+
+Replaces the reference's L3 stack (Data_Feat_MOSEI_EmoVal_4F eager-RAM
+loading feat_data.py:171-258 + DataLoaderX thread prefetch
+read_data.py:15-18 + CMUMOSEI.get_loaders cmumosei.py:84-130) with one
+pipeline that:
+
+* reads lazily (mmap/npy or synthetic) with optional preload,
+* shuffles per-epoch with a seeded RNG (deterministic across hosts),
+* optionally groups similarly-sized clips ("length pools") to cut padding
+  waste — the TPU replacement for deleting the 51 longest train clips,
+* emits static-bucket `Batch`es (collate.py) ready for jit,
+* prefetches batches on a background thread,
+* shards batches across data-parallel hosts by slicing the name list.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from sdumc_tpu.core.config import DataConfig, PathsConfig
+from sdumc_tpu.data.collate import Batch, make_batch, scale_compress
+from sdumc_tpu.data.feature_store import NpyDirSource, SyntheticSource
+from sdumc_tpu.data.labels import read_names_labels
+
+
+class MoseiDataset:
+    """Four feature streams + labels for one split."""
+
+    def __init__(self, names: List[str], labels: List[dict], sources: Dict[str, object], feat_scale: int = 1):
+        self.names = names
+        self.labels = labels
+        self.sources = sources  # keys: audio, text, video, feat4
+        self.feat_scale = feat_scale
+
+    def __len__(self):
+        return len(self.names)
+
+    def input_dims(self):
+        return tuple(self.sources[k].dim for k in ("audio", "text", "video", "feat4"))
+
+    def example(self, idx: int):
+        name = self.names[idx]
+        feats = {k: s.get(name) for k, s in self.sources.items()}
+        if self.feat_scale > 1:
+            feats = {k: scale_compress(v, self.feat_scale) for k, v in feats.items()}
+        lab = self.labels[idx]
+        return feats, float(lab.get("emo", 0.0)), float(lab.get("val", 0.0)), name
+
+
+class BatchIterator:
+    """Iterates one epoch of Batches with optional shuffling/length pooling
+    and background prefetch."""
+
+    def __init__(
+        self,
+        dataset: MoseiDataset,
+        batch_size: int,
+        *,
+        shuffle: bool,
+        seed: int = 100,
+        epoch: int = 0,
+        buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048, 4096),
+        length_pool: int = 0,
+        drop_remainder: bool = False,
+        prefetch: int = 4,
+        shard_index: int = 0,
+        shard_count: int = 1,
+    ):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = epoch
+        self.buckets = tuple(buckets)
+        self.length_pool = length_pool
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+
+    def _order(self) -> np.ndarray:
+        n = len(self.ds)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(idx)
+            if self.length_pool > 1:
+                # group `length_pool` consecutive batches, sort inside the
+                # window by audio length, re-chunk — keeps shuffling global
+                # while making batch members similarly sized.
+                window = self.bs * self.length_pool
+                lens = np.array(
+                    [len(self.ds.sources["audio"].get(self.ds.names[i])) for i in idx]
+                )
+                out = []
+                for s in range(0, n, window):
+                    w = idx[s : s + window]
+                    out.append(w[np.argsort(lens[s : s + window], kind="stable")])
+                idx = np.concatenate(out)
+        if self.shard_count > 1:
+            idx = idx[self.shard_index :: self.shard_count]
+        return idx
+
+    def _batches(self) -> Iterator[Batch]:
+        idx = self._order()
+        for s in range(0, len(idx), self.bs):
+            chunk = idx[s : s + self.bs]
+            if self.drop_remainder and len(chunk) < self.bs:
+                return
+            feats, emos, vals, names = [], [], [], []
+            for i in chunk:
+                f, e, v, n = self.ds.example(int(i))
+                feats.append(f)
+                emos.append(e)
+                vals.append(v)
+                names.append(n)
+            yield make_batch(
+                [f["audio"] for f in feats],
+                [f["text"] for f in feats],
+                [f["video"] for f in feats],
+                [f["feat4"] for f in feats],
+                np.array(emos),
+                np.array(vals),
+                names,
+                buckets=self.buckets,
+            )
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:  # propagate into consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+def build_sources(cfg: DataConfig, paths: PathsConfig, synthetic: bool = False, synth_dims=(1024, 4096, 1024, 4096)):
+    names = {
+        "audio": cfg.audio_feature,
+        "text": cfg.text_feature,
+        "video": cfg.video_feature,
+        "feat4": cfg.feat4_feature,
+    }
+    if synthetic:
+        regimes = {  # (dim, min_len, max_len) per modality, MOSEI-like
+            "audio": (synth_dims[0], 50, 1200),
+            "text": (synth_dims[1], 4, 96),
+            "video": (synth_dims[2], 8, 300),
+            "feat4": (synth_dims[3], 4, 64),
+        }
+        return {
+            k: SyntheticSource(v, regimes[k][0], regimes[k][1], regimes[k][2])
+            for k, v in names.items()
+        }
+    return {k: NpyDirSource(paths.features_dir, v) for k, v in names.items()}
+
+
+def build_loaders(cfg: DataConfig, paths: PathsConfig, *, synthetic: bool = False, synthetic_sizes=(256, 64, 64)):
+    """Returns (train_ds, val_ds, test_ds) MoseiDatasets.
+
+    Mirrors CMUMOSEI.get_loaders' split handling (cmumosei.py:84-130): train
+    drops the too-long list (config switch), --debug truncates to 100.
+    """
+    sources = build_sources(cfg, paths, synthetic=synthetic)
+    datasets = []
+    for split, size in zip(("train", "val", "test"), synthetic_sizes):
+        if synthetic:
+            rng = np.random.default_rng((hash(split) % 2**31, 7))
+            names = [f"{split}_{i}" for i in range(size)]
+            labels = [
+                {"emo": 0.0, "val": float(np.round(rng.uniform(-3, 3), 2))}
+                for _ in names
+            ]
+        else:
+            names, labels = read_names_labels(
+                paths.label_path,
+                split,
+                debug=cfg.debug,
+                drop_too_long=(split == "train" and cfg.drop_too_long_train_clips),
+            )
+            if cfg.debug:
+                names, labels = names[:100], labels[:100]
+        datasets.append(MoseiDataset(names, labels, sources, cfg.feat_scale))
+    return tuple(datasets)

@@ -180,7 +180,12 @@ def rnc_loss(
     labels = jnp.tile(labels, (2, 1))                                   # [2bs, L]
 
     label_diffs = jnp.sum(jnp.abs(labels[:, None, :] - labels[None, :, :]), axis=-1)
-    sim = -jnp.linalg.norm(feats[:, None, :] - feats[None, :, :], axis=-1)
+    # Safe pairwise L2: plain norm has a NaN gradient at zero distance (the
+    # diagonal; torch avoids it because masked_select drops those entries
+    # from the graph). Zero-distance pairs get subgradient 0, like torch.
+    sq = jnp.sum((feats[:, None, :] - feats[None, :, :]) ** 2, axis=-1)
+    sim = -jnp.sqrt(jnp.where(sq > 0.0, sq, 1.0))
+    sim = jnp.where(sq > 0.0, sim, 0.0)
     logits = sim / temperature
     logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True))
     exp_logits = jnp.exp(logits)

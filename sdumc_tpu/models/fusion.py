@@ -236,11 +236,14 @@ class SDUMCFusion(nn.Module):
             self.param("prelu_weight", lambda k, s: jnp.full(s, 0.25), (6,))
             nn.LayerNorm(name="layer_normali")(audio_hidden)  # :260, unused
 
+        # Key names follow the reference *loss-side* unpacking
+        # (main_frame_val_text_missing.py:120): embeddings = [cross_fused_feat,
+        # feat4rnc, text_hidden(post-query-MLP), cross_hiddens[:, 1]].
         aux = {
-            "features": cross_fused_feat,      # embeddings[0]
-            "rnc": rnc,                        # embeddings[1]
-            "text_query": text_q,              # embeddings[2]
-            "cross_text": cross_hiddens[:, 1], # embeddings[3]
+            "features": cross_fused_feat,          # embeddings[0]
+            "rnc": rnc,                            # embeddings[1]
+            "text_feat": text_q,                   # embeddings[2]
+            "text_query_feat": cross_hiddens[:, 1],  # embeddings[3]
             "attn": (attn_a, attn_t, attn_v),
         }
         return vals_out, aux

@@ -1,0 +1,187 @@
+"""Epoch driver: train/eval/test passes, best-MAE model selection, Orbax.
+
+Mirrors the reference driver's behavior (main_frame_val_text_missing.py:333-396):
+per epoch — train pass, eval pass, LR step (baked into the optax schedule),
+test pass, ``eval_mosei_metric`` for full and missing views, best-MAE
+tracking per view, checkpoint of the best. Differences: metrics accumulate
+on device during training; checkpoints are Orbax (with the torch->jax
+converter as the import path for reference checkpoints).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from sdumc_tpu.core.config import ExperimentConfig
+from sdumc_tpu.core.metrics import eval_mosei_metric
+from sdumc_tpu.data.pipeline import BatchIterator, MoseiDataset
+from sdumc_tpu.train.schedule import make_lr_schedule
+from sdumc_tpu.train.state import create_train_state
+from sdumc_tpu.train.step import batch_to_device_dict, make_eval_step, make_train_step
+
+
+def _pad_partial(batch, bs):
+    """Repeat-pad a partial eval batch to the static batch size (rows are
+    independent in eval; preds are sliced back on host)."""
+    n = batch.size
+    if n == bs:
+        return batch, n
+    import dataclasses
+
+    reps = [min(n - 1, i) for i in range(n, bs)]
+
+    def pad(arr):
+        return np.concatenate([arr, arr[reps]], axis=0) if len(reps) else arr
+
+    padded = dataclasses.replace(
+        batch,
+        audio=pad(batch.audio), text=pad(batch.text), video=pad(batch.video),
+        feat4=pad(batch.feat4), emos=pad(batch.emos), vals=pad(batch.vals),
+        lengths=np.concatenate([batch.lengths, batch.lengths[:, reps]], axis=1)
+        if len(reps) else batch.lengths,
+        names=batch.names + [batch.names[-1]] * len(reps),
+    )
+    return padded, n
+
+
+def run_eval(eval_step, params, dataset: MoseiDataset, cfg: ExperimentConfig, mesh=None):
+    """Full eval pass -> dict with preds/labels/metrics for both views."""
+    it = BatchIterator(
+        dataset,
+        cfg.data.batch_size,
+        shuffle=False,
+        buckets=cfg.data.length_buckets,
+    )
+    preds_full, preds_missing, labels, names = [], [], [], []
+    for batch in it:
+        padded, n = _pad_partial(batch, cfg.data.batch_size)
+        d = batch_to_device_dict(padded, mesh)
+        v0, v1 = eval_step(params, d)
+        preds_full.append(np.asarray(v0)[:n])
+        preds_missing.append(np.asarray(v1)[:n])
+        labels.append(batch.vals)
+        names.extend(batch.names)
+    preds_full = np.concatenate(preds_full)
+    preds_missing = np.concatenate(preds_missing)
+    labels = np.concatenate(labels)
+    return {
+        "val_preds_full": preds_full,
+        "val_preds_missing": preds_missing,
+        "val_labels": labels,
+        "names": names,
+        "val_mse_full": float(np.mean((preds_full - labels) ** 2)),
+        "val_mse_missing": float(np.mean((preds_missing - labels) ** 2)),
+        "metric_full": eval_mosei_metric(preds_full, labels, names),
+        "metric_missing": eval_mosei_metric(preds_missing, labels, names),
+    }
+
+
+def train(
+    cfg: ExperimentConfig,
+    model,
+    params,
+    train_ds: MoseiDataset,
+    eval_ds: MoseiDataset,
+    test_ds: MoseiDataset,
+    mesh=None,
+    log=print,
+) -> Dict:
+    steps_per_epoch = max(len(train_ds) // cfg.data.batch_size, 1)
+    lr_sched = make_lr_schedule(
+        cfg.train.lr, steps_per_epoch, cfg.train.warmup_epochs,
+        cfg.train.decay_gamma, cfg.train.decay_stepsize,
+    )
+    state = create_train_state(model, params, lr_sched, cfg.train.l2)
+    train_step = make_train_step(model, cfg.loss)
+    eval_step = make_eval_step(model)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+
+    best_full = {"mae": float("inf")}
+    best_missing = {"mae": float("inf")}
+    history = []
+
+    for epoch in range(cfg.train.epochs):
+        t0 = time.time()
+        it = BatchIterator(
+            train_ds, cfg.data.batch_size,
+            shuffle=True, seed=cfg.data.shuffle_seed, epoch=epoch,
+            buckets=cfg.data.length_buckets, drop_remainder=True,
+        )
+        sq_f = sq_m = cnt = 0.0
+        n_clips = 0
+        for batch in it:
+            d = batch_to_device_dict(batch, mesh)
+            state, metrics = train_step(state, d, rng)
+            sq_f += float(metrics["sq_err_full"])
+            sq_m += float(metrics["sq_err_missing"])
+            cnt += float(metrics["count"])
+            n_clips += batch.size
+        train_time = time.time() - t0
+        train_mse_full = sq_f / max(cnt, 1)
+        train_mse_missing = sq_m / max(cnt, 1)
+
+        eval_results = run_eval(eval_step, state.params, eval_ds, cfg, mesh)
+        test_results = run_eval(eval_step, state.params, test_ds, cfg, mesh)
+
+        tr_full = test_results["metric_full"]
+        tr_missing = test_results["metric_missing"]
+        if tr_full["mae"] <= best_full.get("mae", float("inf")):
+            best_full = dict(tr_full, epoch=epoch)
+            save_checkpoint(cfg, state, tag="best_full")
+        if tr_missing["mae"] <= best_missing.get("mae", float("inf")):
+            best_missing = dict(tr_missing, epoch=epoch)
+            save_checkpoint(cfg, state, tag="best_missing")
+
+        log(
+            f"epoch:{epoch + 1}; train_val_mse_full:{train_mse_full:.4f}; "
+            f"train_val_mse_missing:{train_mse_missing:.4f}; "
+            f"test_mae_full:{tr_full['mae']:.4f}; test_mae_missing:{tr_missing['mae']:.4f}; "
+            f"{n_clips / max(train_time, 1e-9):.1f} clips/s"
+        )
+        history.append(
+            {
+                "epoch": epoch,
+                "train_mse_full": train_mse_full,
+                "train_mse_missing": train_mse_missing,
+                "eval_mse_full": eval_results["val_mse_full"],
+                "test": {"full": tr_full, "missing": tr_missing},
+                "clips_per_sec": n_clips / max(train_time, 1e-9),
+            }
+        )
+
+    return {
+        "state": state,
+        "best_full": best_full,
+        "best_missing": best_missing,
+        "history": history,
+    }
+
+
+def save_checkpoint(cfg: ExperimentConfig, state, tag: str = "latest") -> Optional[str]:
+    """Orbax save (reference equivalent: torch.save of
+    {'epoch','state_dict','optimizer'}, main:375)."""
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError:
+        return None
+    path = os.path.abspath(os.path.join(cfg.train.checkpoint_dir, tag))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        path,
+        {"params": jax.device_get(state.params), "step": int(state.step)},
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))

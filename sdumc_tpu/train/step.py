@@ -1,0 +1,156 @@
+"""Jit-compiled dual-view self-distillation train/eval steps.
+
+Reference hot loop (main_frame_val_text_missing.py:118-150): per batch, a
+full-modality *teacher* forward ``model([a, text_gt, v, False])`` and a
+text-missing *student* forward ``model([a, feat4, v, True])``; the mixed
+loss (:148) distills teacher representations into the student:
+
+  loss = w_full * MSE(v0)  + w_miss * MSE(v1)
+       + w_tf   * RMSE(text_feat_1,       sg(text_feat_0))
+       + w_tqf  * RMSE(text_query_feat_1, sg(text_query_feat_0))
+       + w_f    * RMSE(features_1, features_0)      # teacher NOT detached!
+       + w_rnc  * RnC(stack(rnc_0, rnc_1), vals)
+
+(The reference also computes random 20% frame-dropout masks whose results
+are never used, :123-129 — dead code, intentionally not reproduced.)
+
+The whole dual-view step is one jit graph: both forwards, the loss, the
+grad, and the Adam update, with batch data sharded over the mesh's data
+axis and params replicated (XLA inserts the grad all-reduce). Device->host
+syncs per batch (the reference's per-batch ``.cpu().numpy()``, :156-158) are
+replaced by on-device accumulation: the step returns sums, not arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdumc_tpu import losses
+from sdumc_tpu.core.config import LossConfig
+
+
+def dual_view_loss(
+    model,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    loss_cfg: LossConfig,
+    rng,
+    deterministic: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Compute the mixed distillation loss for one batch dict with keys
+    audio/text/video/feat4 [B,T,D], vals [B], t_max (4 traced scalars)."""
+    ta, tt, tv, tf4 = batch["t_max"]
+    rng0, rng1 = jax.random.split(rng)
+    vals = batch["vals"]
+
+    vals0, aux0 = model.apply(
+        {"params": params},
+        batch["audio"], batch["text"], batch["video"],
+        t_max=(ta, tt, tv),
+        missing=False,
+        deterministic=deterministic,
+        rngs={"dropout": rng0},
+    )
+    vals1, aux1 = model.apply(
+        {"params": params},
+        batch["audio"], batch["feat4"], batch["video"],
+        t_max=(ta, tf4, tv),
+        missing=True,
+        deterministic=deterministic,
+        rngs={"dropout": rng1},
+    )
+
+    sg = jax.lax.stop_gradient
+    mse0 = losses.mse_loss(vals0, vals)
+    mse1 = losses.mse_loss(vals1, vals)
+    rnc = losses.rnc_loss(
+        jnp.stack([aux0["rnc"], aux1["rnc"]], axis=1),
+        vals[:, None],
+        temperature=loss_cfg.rnc_temperature,
+    )
+    loss = (
+        loss_cfg.full_mse_w * mse0
+        + loss_cfg.missing_mse_w * mse1
+        + loss_cfg.text_feat_w * losses.rmse_loss(aux1["text_feat"], sg(aux0["text_feat"]))
+        + loss_cfg.text_query_feat_w
+        * losses.rmse_loss(aux1["text_query_feat"], sg(aux0["text_query_feat"]))
+        + loss_cfg.features_w * losses.rmse_loss(aux1["features"], aux0["features"])
+        + loss_cfg.rnc_w * rnc
+    )
+    metrics = {
+        "loss": loss,
+        "mse_full": mse0,
+        "mse_missing": mse1,
+        "rnc": rnc,
+        # on-device accumulation feed for epoch MSE (replaces per-batch
+        # .cpu() syncs): sums of squared error and count
+        "sq_err_full": jnp.sum((vals0.reshape(-1) - vals) ** 2),
+        "sq_err_missing": jnp.sum((vals1.reshape(-1) - vals) ** 2),
+        "count": jnp.asarray(vals.shape[0], jnp.float32),
+    }
+    return loss, metrics
+
+
+def make_train_step(model, loss_cfg: LossConfig):
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            return dual_view_loss(model, params, batch, loss_cfg, rng, deterministic=False)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    """Returns jitted (params, batch) -> (preds_full, preds_missing).
+
+    Mirrors the reference eval branch (:152-154): both views under no_grad,
+    dropout off.
+    """
+
+    @jax.jit
+    def eval_step(params, batch):
+        ta, tt, tv, tf4 = batch["t_max"]
+        vals0, _ = model.apply(
+            {"params": params},
+            batch["audio"], batch["text"], batch["video"],
+            t_max=(ta, tt, tv), missing=False, deterministic=True,
+        )
+        vals1, _ = model.apply(
+            {"params": params},
+            batch["audio"], batch["feat4"], batch["video"],
+            t_max=(ta, tf4, tv), missing=True, deterministic=True,
+        )
+        return vals0.reshape(-1), vals1.reshape(-1)
+
+    return eval_step
+
+
+def batch_to_device_dict(batch, mesh=None):
+    """Convert a data.collate.Batch into the jit-ready dict; t_max as traced
+    scalars so one compile serves every batch in the same bucket combo."""
+    d = {
+        "audio": batch.audio,
+        "text": batch.text,
+        "video": batch.video,
+        "feat4": batch.feat4,
+        "vals": batch.vals,
+        "t_max": tuple(jnp.int32(t) for t in batch.t_max),
+    }
+    if mesh is not None:
+        from sdumc_tpu.parallel import shard_batch
+
+        arrays = {k: d[k] for k in ("audio", "text", "video", "feat4", "vals")}
+        d.update(shard_batch(mesh, arrays))
+    return d

@@ -1,0 +1,142 @@
+"""Input-pipeline determinism + parity with the reference padding/compress
+semantics (toolkit/utils/read_data.py)."""
+
+import numpy as np
+import pytest
+
+from sdumc_tpu.core.config import DataConfig, PathsConfig
+from sdumc_tpu.data import (
+    Batch,
+    MoseiDataset,
+    SyntheticSource,
+    TOO_LONG_TRAIN_CLIPS,
+    make_batch,
+    mapping_feature,
+)
+from sdumc_tpu.data.collate import bucket_for, scale_compress
+from sdumc_tpu.data.pipeline import BatchIterator, build_loaders
+
+
+@pytest.fixture(scope="module")
+def ref_read_data():
+    """Golden: execute just func_mapping_feature from the reference file
+    (its module has relative imports and can't be loaded standalone)."""
+    import ast
+    import math as _math
+    import pathlib
+    import types
+
+    src = pathlib.Path("/root/reference/toolkit/utils/read_data.py").read_text()
+    tree = ast.parse(src)
+    wanted = {
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "func_mapping_feature"
+    }
+    if not wanted:
+        pytest.skip("reference func_mapping_feature unavailable")
+    mod = types.SimpleNamespace()
+    glb = {"np": np, "math": _math}
+    exec(compile(ast.Module(body=list(wanted), type_ignores=[]), "<ref>", "exec"), glb)
+    mod.func_mapping_feature = glb["func_mapping_feature"]
+    return mod
+
+
+def test_mapping_feature_matches_reference(ref_read_data):
+    rng = np.random.default_rng(0)
+    for featlen, dst in [(10, 10), (4, 9), (20, 7), (21, 7), (100, 32)]:
+        x = rng.normal(size=(featlen, 5))
+        ref = ref_read_data.func_mapping_feature(x.copy(), dst)
+        got = mapping_feature(x.copy(), dst)
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_scale_compress_matches_reference(ref_read_data):
+    import math
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(37, 4))
+    ref = ref_read_data.func_mapping_feature(x.copy(), math.ceil(37 / 4))
+    np.testing.assert_allclose(scale_compress(x.copy(), 4), ref, rtol=1e-6)
+
+
+def test_bucket_for():
+    buckets = (64, 128, 256)
+    assert bucket_for(1, buckets) == 64
+    assert bucket_for(64, buckets) == 64
+    assert bucket_for(65, buckets) == 128
+    assert bucket_for(999, buckets) == 256  # capped
+
+
+def test_make_batch_padding_and_tmax():
+    rng = np.random.default_rng(2)
+    lens = [5, 9, 3]
+    audios = [rng.normal(size=(l, 4)).astype(np.float32) for l in lens]
+    texts = [rng.normal(size=(l + 1, 6)).astype(np.float32) for l in lens]
+    videos = [rng.normal(size=(l, 4)).astype(np.float32) for l in lens]
+    feat4s = [rng.normal(size=(2, 6)).astype(np.float32) for _ in lens]
+    b = make_batch(audios, texts, videos, feat4s,
+                   np.zeros(3), np.arange(3.0), ["x", "y", "z"], buckets=(16, 32))
+    assert b.audio.shape == (3, 16, 4) and b.t_max[0] == 9
+    assert b.text.shape == (3, 16, 6) and b.t_max[1] == 10
+    assert b.t_max[3] == 2
+    # zero padding beyond each row's true length
+    np.testing.assert_array_equal(b.audio[2, 3:], 0.0)
+    np.testing.assert_allclose(b.audio[1, :9], audios[1])
+    assert list(b.lengths[0]) == lens
+
+
+def test_overlong_clip_is_meanpooled_into_cap():
+    rng = np.random.default_rng(3)
+    x = [rng.normal(size=(40, 4)).astype(np.float32)]
+    short = [rng.normal(size=(4, 4)).astype(np.float32)]
+    b = make_batch(x, short, short, short, np.zeros(1), np.zeros(1), ["a"], buckets=(8, 16))
+    assert b.audio.shape[1] == 16 and b.t_max[0] == 16
+    np.testing.assert_allclose(b.audio[0], mapping_feature(x[0], 16), rtol=1e-6)
+
+
+def test_too_long_list_has_51_clips():
+    assert len(TOO_LONG_TRAIN_CLIPS) == 51
+
+
+def test_synthetic_determinism_and_pipeline():
+    cfg = DataConfig(batch_size=8, length_buckets=(64, 128, 256, 512, 1024, 2048))
+    train, val, test = build_loaders(cfg, PathsConfig(), synthetic=True,
+                                     synthetic_sizes=(32, 8, 8))
+    assert train.input_dims() == (1024, 4096, 1024, 4096)
+    a1 = train.sources["audio"].get("train_0")
+    a2 = train.sources["audio"].get("train_0")
+    np.testing.assert_array_equal(a1, a2)
+
+    it = lambda ep: BatchIterator(train, 8, shuffle=True, seed=1, epoch=ep,
+                                  buckets=cfg.length_buckets, drop_remainder=True)
+    names_e0_a = [b.names for b in it(0)]
+    names_e0_b = [b.names for b in it(0)]
+    names_e1 = [b.names for b in it(1)]
+    assert names_e0_a == names_e0_b, "same-seed epoch must be deterministic"
+    assert names_e0_a != names_e1, "different epochs must reshuffle"
+    flat = [n for bn in names_e0_a for n in bn]
+    assert len(set(flat)) == len(flat) == 32
+
+
+def test_sharded_iteration_is_disjoint_and_complete():
+    cfg = DataConfig(batch_size=4)
+    train, _, _ = build_loaders(cfg, PathsConfig(), synthetic=True, synthetic_sizes=(20, 4, 4))
+    seen = []
+    for shard in range(2):
+        it = BatchIterator(train, 4, shuffle=True, seed=3, epoch=0,
+                           shard_index=shard, shard_count=2, prefetch=0)
+        seen.append({n for b in it for n in b.names})
+    assert seen[0] & seen[1] == set()
+    assert seen[0] | seen[1] == {f"train_{i}" for i in range(20)}
+
+
+def test_prefetch_propagates_errors():
+    class Boom(SyntheticSource):
+        def get(self, clip):
+            raise RuntimeError("boom")
+
+    ds = MoseiDataset(
+        ["a"], [{"emo": 0, "val": 0}],
+        {k: Boom(k, 4) for k in ("audio", "text", "video", "feat4")},
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        list(BatchIterator(ds, 1, shuffle=False))

@@ -80,8 +80,8 @@ def test_forward_parity_unpadded(torch_model, jax_setup):
     np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(aux["features"]), ref_embs[0], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(aux["rnc"]), ref_embs[1], rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(aux["text_query"]), ref_embs[2], rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(aux["cross_text"]), ref_embs[3], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux["text_feat"]), ref_embs[2], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux["text_query_feat"]), ref_embs[3], rtol=1e-4, atol=1e-5)
 
 
 def test_forward_parity_bucketed_padding(torch_model, jax_setup):

@@ -1,0 +1,175 @@
+"""Train-step tests: optimizer parity vs torch Adam, schedule parity vs
+torch LambdaLR, and loss-decrease smoke on synthetic data."""
+
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from sdumc_tpu.convert import torch_state_dict_to_params
+from sdumc_tpu.core.config import DataConfig, ExperimentConfig, LossConfig, ModelConfig, PathsConfig, TrainConfig
+from sdumc_tpu.models.fusion import SDUMCFusion
+from sdumc_tpu.train.schedule import make_lr_schedule, warmup_step_decay_factor
+from sdumc_tpu.train.state import create_train_state
+from sdumc_tpu.train.step import dual_view_loss, make_eval_step, make_train_step
+
+INPUT_DIMS = (24, 48, 24)
+
+
+def test_schedule_matches_torch_lambdalr():
+    base_lr = 1e-4
+    lin = torch.nn.Linear(2, 2)
+    opt = torch.optim.Adam(lin.parameters(), lr=base_lr)
+    gamma, stepsize, warm = 0.9, 10, 5
+    fn = lambda epoch: (epoch + 1) / warm if epoch < warm else gamma ** ((epoch + 1 - warm) // stepsize)
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda=fn)
+    torch_lrs = []
+    for _ in range(40):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        sched.step()
+    ours = [base_lr * float(warmup_step_decay_factor(e)) for e in range(40)]
+    np.testing.assert_allclose(ours, torch_lrs, rtol=1e-6)
+
+    # per-step schedule floors to epochs
+    s = make_lr_schedule(base_lr, steps_per_epoch=7)
+    assert float(s(0)) == float(s(6))
+    assert np.isclose(float(s(0)), torch_lrs[0], rtol=1e-6)
+    assert np.isclose(float(s(7)), torch_lrs[1], rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def paired_models(ref_model_module):
+    args = types.SimpleNamespace(input_dims=list(INPUT_DIMS))
+    torch.manual_seed(3)
+    tmodel = ref_model_module.WengnetMOSEIMultViewsTextMissing(args)
+    cfg = ModelConfig(input_dims=INPUT_DIMS)
+    jmodel = SDUMCFusion(cfg)
+    dummy = tuple(jnp.zeros((2, 4, d)) for d in INPUT_DIMS)
+    template = jmodel.init(jax.random.PRNGKey(0), *dummy)["params"]
+    params, _ = torch_state_dict_to_params(tmodel.state_dict(), template)
+    return tmodel, jmodel, params
+
+
+def test_adam_step_parity_with_torch(paired_models, ref_losses):
+    """One full dual-view training step (dropout off) must move params the
+    same way torch Adam(l2=1e-5) does under the reference loss (main:148)."""
+    tmodel, jmodel, params = paired_models
+    tmodel.eval()  # dropout off; grads still flow
+    loss_cfg = LossConfig()
+    rng = np.random.default_rng(0)
+    B, TA, TT, TV, TF = 6, 7, 5, 6, 4
+    a = rng.normal(size=(B, TA, INPUT_DIMS[0])).astype(np.float32)
+    t = rng.normal(size=(B, TT, INPUT_DIMS[1])).astype(np.float32)
+    v = rng.normal(size=(B, TV, INPUT_DIMS[2])).astype(np.float32)
+    f4 = rng.normal(size=(B, TF, INPUT_DIMS[1])).astype(np.float32)
+    vals = rng.uniform(-3, 3, size=(B,)).astype(np.float32)
+
+    # --- torch side: one optimizer step with the reference loss recipe
+    opt = torch.optim.Adam(tmodel.parameters(), lr=1e-4, weight_decay=1e-5)
+    opt.zero_grad()
+    at, tt_, vt, f4t = map(torch.tensor, (a, t, v, f4))
+    vals_t = torch.tensor(vals)
+    out0, emb0 = tmodel([at, tt_, vt, False])
+    out1, emb1 = tmodel([at, f4t, vt, True])
+    mse = ref_losses.MSELoss()
+    rmse = ref_losses.RMSELoss()
+    rnc = ref_losses.RnCLoss(temperature=2)
+    nv = torch.stack((emb0[1], emb1[1]), dim=1)
+    loss_t = (
+        loss_cfg.full_mse_w * mse(out0, vals_t)
+        + loss_cfg.missing_mse_w * mse(out1, vals_t)
+        + loss_cfg.text_feat_w * rmse(emb1[2], emb0[2].detach())
+        + loss_cfg.text_query_feat_w * rmse(emb1[3], emb0[3].detach())
+        + loss_cfg.features_w * rmse(emb1[0], emb0[0])
+        + loss_cfg.rnc_w * rnc(nv, vals_t.unsqueeze(1))
+    )
+    loss_t.backward()
+    opt.step()
+
+    # --- jax side: same batch, deterministic dual-view step, lr factor 1.0
+    batch = {
+        "audio": jnp.array(a), "text": jnp.array(t), "video": jnp.array(v),
+        "feat4": jnp.array(f4), "vals": jnp.array(vals),
+        "t_max": tuple(jnp.int32(x) for x in (TA, TT, TV, TF)),
+    }
+
+    def loss_fn(p):
+        return dual_view_loss(jmodel, p, batch, loss_cfg, jax.random.PRNGKey(0), deterministic=True)
+
+    (loss_j, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isclose(float(loss_j), float(loss_t), rtol=1e-4), (float(loss_j), float(loss_t))
+
+    state = create_train_state(jmodel, params, lambda s: 1e-4, l2=1e-5)
+    state = state.apply_gradients(grads=grads)
+
+    # compare a representative selection of updated tensors
+    sd = tmodel.state_dict()
+    checks = {
+        ("frame_dim_reshape_0", "dense", "kernel"): sd["frame_dim_reshape_0.weight"].detach().numpy().T,
+        ("fc_out_v", "dense", "bias"): sd["fc_out_v.bias"].detach().numpy(),
+        ("fra2utt_1", "context"): sd["fra2utt_1.attention_context_vector"].detach().numpy(),
+        ("cross_att_fra2utt_0", "query_proj", "dense", "kernel"):
+            sd["cross_att_fra2utt_0.query_proj.weight"].detach().numpy().T,
+        ("orgin_linear_change_1", "dense", "kernel"): sd["orgin_linear_change.2.weight"].detach().numpy().T,
+    }
+    for path, ref_val in checks.items():
+        node = state.params
+        for p in path:
+            node = node[p]
+        # atol 2e-4 = 2*lr: Adam's first step is ~±lr*sign(g), so framework
+        # float noise on near-zero grads can flip single elements by ~lr.
+        np.testing.assert_allclose(np.asarray(node), ref_val, rtol=2e-3, atol=2e-4)
+
+
+def test_training_decreases_loss():
+    """Smoke: 30 steps on a learnable synthetic task shrink the loss."""
+    cfg = ModelConfig(input_dims=(16, 32, 16))
+    model = SDUMCFusion(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 16, 8
+    a = rng.normal(size=(B, T, 16)).astype(np.float32)
+    t = rng.normal(size=(B, T, 32)).astype(np.float32)
+    v = rng.normal(size=(B, T, 16)).astype(np.float32)
+    f4 = rng.normal(size=(B, T, 32)).astype(np.float32)
+    vals = np.tanh(a.mean(axis=(1, 2)) * 5).astype(np.float32)  # learnable signal
+
+    template = model.init(
+        jax.random.PRNGKey(1), jnp.array(a), jnp.array(t), jnp.array(v)
+    )["params"]
+    state = create_train_state(model, template, lambda s: 3e-4, l2=1e-5)
+    step = make_train_step(model, LossConfig())
+    batch = {
+        "audio": jnp.array(a), "text": jnp.array(t), "video": jnp.array(v),
+        "feat4": jnp.array(f4), "vals": jnp.array(vals),
+        "t_max": tuple(jnp.int32(T) for _ in range(4)),
+    }
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(30):
+        state, metrics = step(state, dict(batch), key)
+        if first is None:
+            first = float(metrics["mse_full"])
+    last = float(metrics["mse_full"])
+    assert last < first * 0.8, (first, last)
+
+
+def test_eval_step_runs():
+    cfg = ModelConfig(input_dims=(8, 16, 8))
+    model = SDUMCFusion(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 4, 8)), jnp.zeros((2, 4, 16)), jnp.zeros((2, 4, 8)),
+    )["params"]
+    ev = make_eval_step(model)
+    batch = {
+        "audio": jnp.zeros((2, 4, 8)), "text": jnp.zeros((2, 4, 16)),
+        "video": jnp.zeros((2, 4, 8)), "feat4": jnp.zeros((2, 4, 16)),
+        "vals": jnp.zeros(2),
+        "t_max": tuple(jnp.int32(4) for _ in range(4)),
+    }
+    v0, v1 = ev(params, batch)
+    assert v0.shape == v1.shape == (2,)
