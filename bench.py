@@ -1,0 +1,182 @@
+"""Benchmark: dual-view (full + text-missing) inference throughput.
+
+North-star metric (BASELINE.json): clips/sec/chip for full + text-missing
+inference on MOSEI-shaped features. The reference publishes no throughput
+(BASELINE.md), so the baseline is the reference PyTorch implementation
+executed on this host (CPU — the only torch device available here), measured
+over the *same* clips with its own batch-max-padding collate, and cached in
+``bench_baseline.json``.
+
+Measurement scope: batches are pre-staged in device memory (a production
+pipeline overlaps host->device transfer with compute; the dev-tunnel link
+here has ~80 s first-fetch setup and 25 ms/RPC latency that no real TPU host
+has), then the jitted dual-view forward runs per batch with one final
+device sync. The torch baseline holds its tensors in host RAM — its
+"device" memory — so the scopes match. Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+BATCH_SIZE = 128          # inference recipe batch (shell/..._inference.sh:5)
+N_BATCHES = 8
+N_CLIPS = BATCH_SIZE * N_BATCHES
+DIMS = (1024, 4096, 1024, 4096)
+BUCKETS = (64, 256, 512)
+# MOSEI-regime lengths: WavLM 50 Hz frames (avg clip ~7 s), LLM tokens,
+# video frames, generated pseudo-text tokens.
+REGIMES = {"audio": (DIMS[0], 80, 450), "text": (DIMS[1], 4, 60),
+           "video": (DIMS[2], 8, 200), "feat4": (DIMS[3], 4, 60)}
+TIMED_EPOCHS = 3
+
+
+def _batches():
+    """Deterministic synthetic clips -> collated Batch list (host numpy)."""
+    from sdumc_tpu.data.collate import make_batch
+    from sdumc_tpu.data.feature_store import SyntheticSource
+
+    sources = {k: SyntheticSource(k, d, lo, hi) for k, (d, lo, hi) in REGIMES.items()}
+    batches = []
+    for b in range(N_BATCHES):
+        names = [f"clip_{b}_{i}" for i in range(BATCH_SIZE)]
+        feats = {k: [s.get(n) for n in names] for k, s in sources.items()}
+        batches.append(
+            make_batch(feats["audio"], feats["text"], feats["video"], feats["feat4"],
+                       np.zeros(BATCH_SIZE), np.zeros(BATCH_SIZE), names, buckets=BUCKETS)
+        )
+    return batches
+
+
+def bench_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from sdumc_tpu.cli.common import build_model_and_params
+    from sdumc_tpu.core.config import ExperimentConfig
+    from sdumc_tpu.train.step import make_eval_step
+
+    model, params = build_model_and_params(ExperimentConfig(), DIMS)
+    params = jax.device_put(params)
+    eval_step = make_eval_step(model)
+
+    device_batches = []
+    for b in _batches():
+        device_batches.append({
+            "audio": jax.device_put(b.audio), "text": jax.device_put(b.text),
+            "video": jax.device_put(b.video), "feat4": jax.device_put(b.feat4),
+            "vals": jax.device_put(b.vals),
+            "t_max": tuple(jnp.int32(t) for t in b.t_max),
+        })
+
+    def run_epoch():
+        outs = [eval_step(params, d) for d in device_batches]
+        # one device->host sync per epoch (preds are tiny)
+        return np.concatenate([np.asarray(v0) for v0, _ in outs])
+
+    run_epoch()  # compile all bucket combos + tunnel d2h warmup
+    t0 = time.perf_counter()
+    for _ in range(TIMED_EPOCHS):
+        preds = run_epoch()
+    dt = time.perf_counter() - t0
+    assert preds.shape[0] == N_CLIPS
+    return TIMED_EPOCHS * N_CLIPS / dt
+
+
+def bench_torch_reference() -> float:
+    """Reference model + reference collate semantics on host torch CPU."""
+    import importlib.util
+    import types
+
+    import torch
+
+    path = "/root/reference/toolkit/models/wengnet_mosei_mult_views_text_missing.py"
+    if not os.path.exists(path):
+        return float("nan")
+    torch.set_num_threads(os.cpu_count() or 8)
+    spec = importlib.util.spec_from_file_location("ref_model", path)
+    rm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rm)
+    torch.manual_seed(0)
+    tm = rm.WengnetMOSEIMultViewsTextMissing(
+        types.SimpleNamespace(input_dims=list(DIMS[:3]))
+    )
+    tm.eval()
+
+    # pre-collate with the reference's batch-max padding (no bucketing)
+    from sdumc_tpu.data.feature_store import SyntheticSource
+
+    sources = {k: SyntheticSource(k, d, lo, hi) for k, (d, lo, hi) in REGIMES.items()}
+    tbatches = []
+    for b in range(N_BATCHES):
+        names = [f"clip_{b}_{i}" for i in range(BATCH_SIZE)]
+        mats = []
+        for k in ("audio", "text", "video", "feat4"):
+            seqs = [sources[k].get(n) for n in names]
+            m = max(len(s) for s in seqs)
+            arr = np.zeros((BATCH_SIZE, m, seqs[0].shape[-1]), np.float32)
+            for i, s in enumerate(seqs):
+                arr[i, : len(s)] = s
+            mats.append(torch.tensor(arr))
+        tbatches.append(mats)
+
+    def run_epoch():
+        with torch.no_grad():
+            for a, t, v, f4 in tbatches:
+                tm([a, t, v, False])
+                tm([a, f4, v, True])
+
+    run_epoch()  # warm caches
+    t0 = time.perf_counter()
+    run_epoch()
+    dt = time.perf_counter() - t0
+    return N_CLIPS / dt
+
+
+def get_baseline() -> dict:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    clips = bench_torch_reference()
+    blob = {
+        "clips_per_sec": clips,
+        "impl": "reference PyTorch (WengnetMOSEIMultViewsTextMissing), dual-view, bs=128",
+        "device": "host CPU (reference hardware unspecified; no published throughput)",
+    }
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(blob, f, indent=1)
+    return blob
+
+
+def main():
+    baseline = get_baseline()
+    ours = bench_ours()
+    base = baseline.get("clips_per_sec") or float("nan")
+    vs = ours / base if np.isfinite(base) and base > 0 else None
+    import jax
+
+    print(
+        json.dumps(
+            {
+                "metric": "clips/sec/chip, dual-view (full+text-missing) MOSEI inference, bs=128",
+                "value": round(ours, 2),
+                "unit": "clips/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+                "device": str(jax.devices()[0]),
+                "baseline": baseline.get("device"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -69,21 +69,27 @@ class SyntheticSource:
     MOSEI regime (WavLM 50 Hz frames, LLM tokens, video frames).
     """
 
-    def __init__(self, feature_name: str, dim: int, min_len: int = 8, max_len: int = 400, seed: int = 0):
+    def __init__(self, feature_name: str, dim: int, min_len: int = 8, max_len: int = 400, seed: int = 0, cache: bool = True):
         self.name = feature_name
         self._dim = dim
         self.min_len = min_len
         self.max_len = max_len
         self.seed = seed
+        self._cache: Dict[str, np.ndarray] = {} if cache else None
 
     def _rng(self, clip: str) -> np.random.Generator:
         key = abs(hash((clip, self.name, self.seed))) % (2**32)
         return np.random.default_rng(key)
 
     def get(self, clip: str) -> np.ndarray:
+        if self._cache is not None and clip in self._cache:
+            return self._cache[clip]
         rng = self._rng(clip)
         t = int(rng.integers(self.min_len, self.max_len + 1))
-        return rng.normal(size=(t, self._dim)).astype(np.float32)
+        arr = rng.normal(size=(t, self._dim)).astype(np.float32)
+        if self._cache is not None:
+            self._cache[clip] = arr
+        return arr
 
     @property
     def dim(self) -> int:
