@@ -108,6 +108,15 @@ class ModelConfig:
     # "default" = backend fast path (bf16 MXU passes on TPU) for bulk
     # throughput when parity is not required.
     matmul_precision: str = "highest"
+    # Fused Pallas kernels for the frame attention ops (ops/pallas/): "on",
+    # "off", or "auto". Measured on v5e at the live dims (D=256, T<=512,
+    # bs=128): XLA's own fusion of the einsum formulation is faster (5.2k
+    # vs 4.6k clips/s dual-view) — at this size the model is launch/HBM
+    # bound and XLA fuses across op boundaries the kernels can't. "auto"
+    # therefore resolves to off here; the kernels are kept (tested on CPU
+    # interpret + TPU) as the long-sequence/large-dim path and as the
+    # basis for the encoder flash-attention kernels.
+    use_pallas: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

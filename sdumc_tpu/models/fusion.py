@@ -49,43 +49,75 @@ def _xavier_normal_vector(key, shape, dtype=jnp.float32):
 
 
 class FRA2UTTNew(nn.Module):
-    """Frame->utterance pooling (reference FRA2UTT_new :46-68)."""
+    """Frame->utterance pooling (reference FRA2UTT_new :46-68).
+
+    use_pallas routes through the fused online-softmax kernel
+    (ops/pallas/fused_pool.py); the einsum path additionally returns the
+    attention map (the kernel never materializes it).
+    """
 
     dim: int
     softmax_scale: float = 0.3
     dropout: float = 0.5
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, *, t_max=None, deterministic: bool = True):
         context = self.param("context", _xavier_normal_vector, (1, self.dim))
-        proj = Linear(self.dim, name="input_proj")
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        scores = jnp.einsum("btd,d->bt", jnp.tanh(proj(x)), context[0])
-        scores = mask_time_scores(self.softmax_scale * scores, t_max, axis=1)
-        attn = nn.softmax(scores, axis=1)
-        pooled = jnp.einsum("btd,bt->bd", x, attn)
+        if self.use_pallas:
+            from sdumc_tpu.models.layers import LinearParams
+            from sdumc_tpu.ops.pallas import fused_attention_pool
+
+            kernel, bias = LinearParams(self.dim, name="input_proj")(self.dim)
+            pooled = fused_attention_pool(
+                x, kernel, bias, context[0], t_max,
+                softmax_scale=self.softmax_scale,
+            )
+            attn = None
+        else:
+            proj = Linear(self.dim, name="input_proj")
+            scores = jnp.einsum("btd,d->bt", jnp.tanh(proj(x)), context[0])
+            scores = mask_time_scores(self.softmax_scale * scores, t_max, axis=1)
+            attn = nn.softmax(scores, axis=1)[..., None]
+            pooled = jnp.einsum("btd,bt->bd", x, attn[..., 0])
         pooled = nn.Dropout(self.dropout, deterministic=deterministic)(pooled)
-        return pooled, attn[..., None]
+        return pooled, attn
 
 
 class CrossAttention(nn.Module):
-    """7-query cross attention over frames (reference Cross_Attention :70-95)."""
+    """7-query cross attention over frames (reference Cross_Attention :70-95).
+
+    use_pallas fuses key-projection + tanh + masked softmax + weighted sum
+    (ops/pallas/fused_cross.py); the 7-row query projection stays in XLA.
+    """
 
     dim: int
     softmax_scale: float = 0.3
     dropout: float = 0.5
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, query, x, *, t_max=None, deterministic: bool = True):
         q_proj = Linear(self.dim, name="query_proj")
-        k_proj = Linear(self.dim, name="input_proj")
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         q = q_proj(query)
-        k = jnp.tanh(k_proj(x))
-        scores = jnp.einsum("btd,bqd->btq", k, q)
-        scores = mask_time_scores(self.softmax_scale * scores, t_max, axis=1)
-        attn = nn.softmax(scores, axis=1)
-        out = jnp.einsum("btd,btq->bqd", x, attn)
+        if self.use_pallas:
+            from sdumc_tpu.models.layers import LinearParams
+            from sdumc_tpu.ops.pallas import fused_cross_attention
+
+            kernel, bias = LinearParams(self.dim, name="input_proj")(self.dim)
+            out = fused_cross_attention(
+                q, x, kernel, bias, t_max, softmax_scale=self.softmax_scale
+            )
+            attn = None
+        else:
+            k_proj = Linear(self.dim, name="input_proj")
+            k = jnp.tanh(k_proj(x))
+            scores = jnp.einsum("btd,bqd->btq", k, q)
+            scores = mask_time_scores(self.softmax_scale * scores, t_max, axis=1)
+            attn = nn.softmax(scores, axis=1)
+            out = jnp.einsum("btd,btq->bqd", x, attn)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return out, attn
 
@@ -135,6 +167,7 @@ class SDUMCFusion(nn.Module):
         d = cfg.general_dim
         ta, tt, tv = t_max if t_max is not None else (None, None, None)
         det = deterministic
+        use_pallas = cfg.use_pallas == "on"  # "auto" -> XLA path (see config)
 
         # --- input projections (:193-195, :282-284)
         audio_f = Linear(d, name="frame_dim_reshape_0")(audio)
@@ -142,9 +175,9 @@ class SDUMCFusion(nn.Module):
         video_f = Linear(d, name="frame_dim_reshape_2")(video)
 
         # --- frame->utterance pooling (:288-290)
-        pool_a = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, name="fra2utt_0")
-        pool_t = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, name="fra2utt_1")
-        pool_v = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, name="fra2utt_2")
+        pool_a = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="fra2utt_0")
+        pool_t = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="fra2utt_1")
+        pool_v = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="fra2utt_2")
         audio_pre, attn_a = pool_a(audio_f, t_max=ta, deterministic=det)
         text_pre, attn_t = pool_t(text_f, t_max=tt, deterministic=det)
         video_pre, attn_v = pool_v(video_f, t_max=tv, deterministic=det)
@@ -192,9 +225,9 @@ class SDUMCFusion(nn.Module):
         )  # [B, 7, D]
 
         # --- cross attention back over each modality's frames (:334-336)
-        xatt_a = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, name="cross_att_fra2utt_0")
-        xatt_t = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, name="cross_att_fra2utt_1")
-        xatt_v = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, name="cross_att_fra2utt_2")
+        xatt_a = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="cross_att_fra2utt_0")
+        xatt_t = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="cross_att_fra2utt_1")
+        xatt_v = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="cross_att_fra2utt_2")
         cross_audio, _ = xatt_a(multi_query, audio_f, t_max=ta, deterministic=det)
         cross_text, _ = xatt_t(multi_query, text_f, t_max=tt, deterministic=det)
         cross_video, _ = xatt_v(multi_query, video_f, t_max=tv, deterministic=det)

@@ -55,6 +55,35 @@ class Linear(nn.Module):
         )(x)
 
 
+class _DenseParams(nn.Module):
+    """Declares (kernel, bias) with the exact param tree of `Linear` (a
+    child scope named "dense") without applying the matmul — used where a
+    fused Pallas kernel consumes the parameters directly."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, fan_in: int):
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init, (fan_in, self.features)
+        )
+        bias = self.param(
+            "bias", torch_linear_bias_init_for(fan_in), (self.features,)
+        )
+        return kernel, bias
+
+
+class LinearParams(nn.Module):
+    """Param-tree twin of `Linear`: same "<name>/dense/{kernel,bias}" paths,
+    but returns the parameters instead of computing x @ W + b."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, fan_in: int):
+        return _DenseParams(self.features, name="dense")(fan_in)
+
+
 class MLP(nn.Module):
     """[Linear -> ReLU -> Dropout] stack (reference `MLP`,
     wengnet_mosei_mult_views_text_missing.py:264-273)."""
