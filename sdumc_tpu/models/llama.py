@@ -1,0 +1,249 @@
+"""LLaMA-family decoder (Vicuna-7B-v1.5) — the text-embedding and
+pseudo-text engine of the pipeline.
+
+Reference uses of the torch/HF model:
+
+* gt-text features: embed transcript tokens, one forward, hidden-state tap
+  (layer -3 / -4..-1 summed) — extract_wavlm_vicuna_hd.py:235-252,
+  extract_text_embedding_huggingface.py:145.
+* feat4 pseudo-text: WavLM-projected embeddings + prompt -> ``generate``
+  (beam 4, <=200 new tokens) harvesting the last-4-layer hidden states of
+  the leading beam at every step — extract_wavlm_vicuna.py:245-264.
+
+TPU-native design: bf16 weights, full-sequence forward is one jit; decoding
+is a ``lax.while_loop`` over a static-shape KV cache (no dynamic shapes), so
+the whole beam-search generate compiles to a single XLA program instead of
+the reference's per-step python loop. Tensor parallelism shards attention
+heads and MLP hidden over the mesh's ``model`` axis via logical param
+annotations (parallel/sharding.py applies the rules); 7B runs replicated on
+one v5e chip in bf16 (13.5 GB) or sharded on 4+.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: Optional[int] = None   # None -> MHA (Vicuna-7B)
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    max_position_embeddings: int = 4096
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        base = dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+                    num_layers=3, num_heads=4, max_position_embeddings=256,
+                    dtype=jnp.float32)
+        base.update(kw)
+        return LlamaConfig(**base)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = x.astype(jnp.float32) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale).astype(x.dtype)
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, HF-Llama convention (half-split, not interleaved).
+
+    x: [B, T, H, hd]; positions: [B, T] absolute positions.
+    """
+    hd = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B, T, hd/2]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _dense(features, name, dtype):
+    return nn.Dense(features, use_bias=False, dtype=dtype, name=name,
+                    kernel_init=nn.initializers.normal(0.02))
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask, cache=None):
+        """x: [B, T, D]; mask: [B, 1, T, S] additive; cache: optional dict
+        with k/v [B, S_max, H, hd] and index — returns (out, new_cache)."""
+        c = self.cfg
+        B, T, _ = x.shape
+        q = _dense(c.num_heads * c.head_dim, "q_proj", c.dtype)(x)
+        k = _dense(c.kv_heads * c.head_dim, "k_proj", c.dtype)(x)
+        v = _dense(c.kv_heads * c.head_dim, "v_proj", c.dtype)(x)
+        q = q.reshape(B, T, c.num_heads, c.head_dim)
+        k = k.reshape(B, T, c.kv_heads, c.head_dim)
+        v = v.reshape(B, T, c.kv_heads, c.head_dim)
+        q = rope(q, positions, c.rope_theta)
+        k = rope(k, positions, c.rope_theta)
+
+        if cache is not None:
+            idx = cache["index"]
+            k_all = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0))
+            new_cache = {"k": k_all, "v": v_all, "index": idx + T}
+            k_use, v_use = k_all, v_all
+        else:
+            new_cache = None
+            k_use, v_use = k, v
+
+        if c.kv_heads != c.num_heads:
+            rep = c.num_heads // c.kv_heads
+            k_use = jnp.repeat(k_use, rep, axis=2)
+            v_use = jnp.repeat(v_use, rep, axis=2)
+
+        scores = jnp.einsum("bthd,bshd->bhts", q, k_use).astype(jnp.float32)
+        scores = scores / jnp.sqrt(c.head_dim).astype(jnp.float32)
+        scores = scores + mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(c.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v_use)
+        out = out.reshape(B, T, c.num_heads * c.head_dim)
+        return _dense(c.hidden_size, "o_proj", c.dtype)(out), new_cache
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        gate = _dense(c.intermediate_size, "gate_proj", c.dtype)(x)
+        up = _dense(c.intermediate_size, "up_proj", c.dtype)(x)
+        return _dense(c.hidden_size, "down_proj", c.dtype)(nn.silu(gate) * up)
+
+
+class LlamaLayer(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask, cache=None):
+        h, new_cache = LlamaAttention(self.cfg, name="self_attn")(
+            RMSNorm(self.cfg.rms_eps, name="input_layernorm")(x),
+            positions, mask, cache)
+        x = x + h
+        x = x + LlamaMLP(self.cfg, name="mlp")(
+            RMSNorm(self.cfg.rms_eps, name="post_attention_layernorm")(x))
+        return x, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder trunk; returns final hidden + per-layer hidden taps."""
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        caches: Optional[Tuple[Dict, ...]] = None,
+        output_hidden_states: bool = False,
+    ):
+        c = self.cfg
+        embed = nn.Embed(c.vocab_size, c.hidden_size, dtype=c.dtype,
+                         embedding_init=nn.initializers.normal(0.02),
+                         name="embed_tokens")
+        x = embed(input_ids) if inputs_embeds is None else inputs_embeds.astype(c.dtype)
+        B, T, _ = x.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+        if attn_mask is None:
+            # causal over the current segment (no cache)
+            causal = jnp.tril(jnp.ones((T, T), bool))
+            attn_mask = jnp.where(causal, 0.0, -1e30)[None, None]
+
+        hidden_states = [x] if output_hidden_states else None
+        new_caches = [] if caches is not None else None
+        for i in range(c.num_layers):
+            cache_i = caches[i] if caches is not None else None
+            x, nc = LlamaLayer(c, name=f"layers_{i}")(x, positions, attn_mask, cache_i)
+            if caches is not None:
+                new_caches.append(nc)
+            if output_hidden_states:
+                hidden_states.append(x)
+        x = RMSNorm(c.rms_eps, name="norm")(x)
+        # HF convention: the LAST entry of hidden_states is post-final-norm
+        if output_hidden_states:
+            hidden_states[-1] = x
+        return {
+            "last_hidden_state": x,
+            "hidden_states": tuple(hidden_states) if output_hidden_states else None,
+            "caches": tuple(new_caches) if new_caches is not None else None,
+        }
+
+    def embed_only(self, input_ids):
+        """Token embeddings without running the trunk (reference
+        ``embed_tokens`` access, extract_wavlm_vicuna.py:212-224)."""
+        c = self.cfg
+        embed = nn.Embed(c.vocab_size, c.hidden_size, dtype=c.dtype,
+                         embedding_init=nn.initializers.normal(0.02),
+                         name="embed_tokens")
+        return embed(input_ids)
+
+
+class LlamaForCausalLM(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, **kw):
+        out = LlamaModel(self.cfg, name="model")(**kw)
+        logits = _dense(self.cfg.vocab_size, "lm_head", jnp.float32)(
+            out["last_hidden_state"]
+        )
+        out["logits"] = logits
+        return out
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
+    dtype = dtype or cfg.dtype
+    return tuple(
+        {
+            "k": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_dim), dtype),
+            "v": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_dim), dtype),
+            "index": jnp.int32(0),
+        }
+        for _ in range(cfg.num_layers)
+    )
+
+
+def cache_mask(query_positions, max_len):
+    """Additive mask [B, 1, T, max_len]: attend to cache slots <= position."""
+    B, T = query_positions.shape
+    slots = jnp.arange(max_len)[None, None, None, :]
+    ok = slots <= query_positions[:, None, :, None]
+    return jnp.where(ok, 0.0, -1e30)
