@@ -1,0 +1,276 @@
+"""WavLM audio encoder (wavlm-large) — the audio feature extractor.
+
+The reference runs HF ``WavLMModel`` per wav file and saves the -5 layer
+hidden state, shape [T, 1024]
+(feature_extraction/audio/extract_transformers_embedding.py:29-111,125).
+This is a from-scratch JAX implementation of the same architecture
+(stable-layer-norm variant used by wavlm-large):
+
+  raw wav [B, S] -> 7 temporal convs (layer-norm + gelu) -> [B, T, 512]
+  -> feature projection (LN + Linear to 1024)
+  -> grouped positional conv embedding (kernel 128, 16 groups, weight-norm)
+  -> 24 pre-LN transformer layers with WavLM's T5-style bucketed relative
+     position bias, shared across layers, gated per layer ("gru_rel_pos")
+  -> final LayerNorm; hidden_states taps per layer.
+
+Weight-normed conv weights are folded into effective weights at conversion
+(extraction is frozen inference; convert/hf_wavlm.py). Everything is one
+jit; batched extraction replaces the reference's one-wav-at-a-time loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class WavLMConfig:
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    conv_dim: Tuple[int, ...] = (512,) * 7
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = True
+    feat_extract_norm: str = "layer"      # wavlm-large; "group" = base models
+    do_stable_layer_norm: bool = True
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    num_buckets: int = 320
+    max_bucket_distance: int = 800
+    layer_norm_eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def tiny(**kw) -> "WavLMConfig":
+        base = dict(hidden_size=32, num_layers=2, num_heads=4,
+                    intermediate_size=64, conv_dim=(16, 16, 16),
+                    conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+                    num_conv_pos_embeddings=16,
+                    num_conv_pos_embedding_groups=4,
+                    num_buckets=40, max_bucket_distance=100)
+        base.update(kw)
+        return WavLMConfig(**base)
+
+    def output_length(self, n_samples: int) -> int:
+        t = n_samples
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            t = (t - k) // s + 1
+        return t
+
+
+def _conv1d(x, kernel, bias=None, stride=1, padding=0, groups=1):
+    """x: [B, T, Cin]; kernel: [k, Cin/groups, Cout] (flax layout)."""
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class FeatureEncoder(nn.Module):
+    """Temporal conv stack: raw wav -> frame features (HF WavLMFeatureEncoder)."""
+
+    cfg: WavLMConfig
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = wav[:, :, None]  # [B, S, 1]
+        for i, (dim, k, s) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+        ):
+            in_dim = x.shape[-1]
+            kernel = self.param(f"conv_{i}_kernel", nn.initializers.he_normal(),
+                                (k, in_dim, dim))
+            bias = (
+                self.param(f"conv_{i}_bias", nn.initializers.zeros, (dim,))
+                if cfg.conv_bias else None
+            )
+            x = _conv1d(x, kernel, bias, stride=s)
+            if cfg.feat_extract_norm == "layer":
+                x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=f"ln_{i}")(x)
+            elif i == 0:  # "group": GroupNorm(groups=channels) on first conv
+                x = nn.GroupNorm(num_groups=dim, epsilon=1e-5, name="gn_0")(x)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding (HF WavLMPositionalConvEmbedding);
+    weight norm is folded into the stored kernel at conversion."""
+
+    cfg: WavLMConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        d = cfg.hidden_size
+        k = cfg.num_conv_pos_embeddings
+        g = cfg.num_conv_pos_embedding_groups
+        kernel = self.param("kernel", nn.initializers.he_normal(), (k, d // g, d))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        out = _conv1d(x, kernel, bias, stride=1, padding=k // 2, groups=g)
+        if k % 2 == 0:  # SamePad trim
+            out = out[:, :-1]
+        return nn.gelu(out, approximate=False)
+
+
+def relative_position_buckets(q_len: int, k_len: int, num_buckets: int,
+                              max_distance: int) -> jnp.ndarray:
+    """T5-style bidirectional bucketing (HF WavLMAttention.compute_bias)."""
+    context = jnp.arange(q_len)[:, None]
+    memory = jnp.arange(k_len)[None, :]
+    rel = memory - context
+    nb = num_buckets // 2
+    buckets = (rel > 0).astype(jnp.int32) * nb
+    rel = jnp.abs(rel)
+    max_exact = nb // 2
+    is_small = rel < max_exact
+    rel_large = (
+        max_exact
+        + jnp.log(jnp.maximum(rel, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (nb - max_exact)
+    ).astype(jnp.int32)
+    rel_large = jnp.minimum(rel_large, nb - 1)
+    return buckets + jnp.where(is_small, rel, rel_large)
+
+
+class WavLMAttention(nn.Module):
+    """Self-attention with shared bucketed relative position bias and the
+    per-layer GRU-style gating (HF WavLMAttention)."""
+
+    cfg: WavLMConfig
+    has_relative_position_bias: bool
+
+    @nn.compact
+    def __call__(self, x, position_bias=None, pad_mask=None):
+        cfg = self.cfg
+        B, T, D = x.shape
+        H = cfg.num_heads
+        hd = D // H
+
+        if position_bias is None:
+            assert self.has_relative_position_bias
+            rel_embed = self.param(
+                "rel_attn_embed", nn.initializers.normal(0.02),
+                (cfg.num_buckets, H),
+            )
+            buckets = relative_position_buckets(
+                T, T, cfg.num_buckets, cfg.max_bucket_distance
+            )
+            position_bias = jnp.transpose(rel_embed[buckets], (2, 0, 1))  # [H,T,T]
+
+        # --- gru_rel_pos gating of the shared bias
+        gru_const = self.param("gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1))
+        gate_dense = nn.Dense(8, name="gru_rel_pos_linear")
+        gated = jnp.transpose(x.reshape(B, T, H, hd), (0, 2, 1, 3))  # [B,H,T,hd]
+        proj = gate_dense(gated).reshape(B, H, T, 2, 4).sum(-1)       # [B,H,T,2]
+        gate_a, gate_b = jnp.split(jax.nn.sigmoid(proj), 2, axis=-1)  # [B,H,T,1]
+        gate_out = gate_a * (gate_b * gru_const - 1.0) + 2.0          # [B,H,T,1]
+        gated_bias = gate_out * position_bias[None]                    # [B,H,T,T]
+
+        q = nn.Dense(D, name="q_proj")(x).reshape(B, T, H, hd)
+        k = nn.Dense(D, name="k_proj")(x).reshape(B, T, H, hd)
+        v = nn.Dense(D, name="v_proj")(x).reshape(B, T, H, hd)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(hd)
+        scores = scores + gated_bias
+        if pad_mask is not None:  # [B, S] True = attend
+            scores = jnp.where(pad_mask[:, None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, D)
+        return nn.Dense(D, name="out_proj")(out), position_bias
+
+
+class EncoderLayer(nn.Module):
+    """Encoder layer; pre-LN ("stable layer norm", wavlm-large) or post-LN
+    (base models / wav2vec2-style) ordering per config."""
+
+    cfg: WavLMConfig
+    has_relative_position_bias: bool
+
+    @nn.compact
+    def __call__(self, x, position_bias=None, pad_mask=None):
+        cfg = self.cfg
+        ln1 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")
+        ln2 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")
+        attn = WavLMAttention(cfg, self.has_relative_position_bias, name="attention")
+
+        def ff(h):
+            h = nn.Dense(cfg.intermediate_size, name="intermediate_dense")(h)
+            h = nn.gelu(h, approximate=False)
+            return nn.Dense(cfg.hidden_size, name="output_dense")(h)
+
+        if cfg.do_stable_layer_norm:  # pre-LN
+            h, position_bias = attn(ln1(x), position_bias, pad_mask)
+            x = x + h
+            x = x + ff(ln2(x))
+        else:  # post-LN
+            h, position_bias = attn(x, position_bias, pad_mask)
+            x = ln1(x + h)
+            x = ln2(x + ff(x))
+        return x, position_bias
+
+
+class WavLMModel(nn.Module):
+    cfg: WavLMConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        wav: jnp.ndarray,
+        *,
+        pad_mask: Optional[jnp.ndarray] = None,
+        output_hidden_states: bool = False,
+    ):
+        """wav: [B, S] float waveform (zero-mean/unit-var normalized by the
+        host processor). Returns last_hidden_state [B, T, D] and optional
+        hidden_states tuple (len = num_layers + 1, HF convention: entry 0 is
+        the post-pos-conv input, the last entry is post-final-LN)."""
+        cfg = self.cfg
+        feats = FeatureEncoder(cfg, name="feature_extractor")(wav)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="feature_ln")(feats)
+        x = nn.Dense(cfg.hidden_size, name="feature_projection")(x)
+
+        # pad_mask is FRAME-level [B, T] (True = real frame); callers compute
+        # frame counts from sample counts via cfg.output_length. (The
+        # reference pads nothing — it runs one wav at a time; the mask
+        # enables batched extraction, HF-equivalent "padded frames output 0
+        # and are not attended to".)
+        frame_mask = pad_mask
+        if frame_mask is not None:
+            x = jnp.where(frame_mask[:, :, None], x, 0.0)
+
+        x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
+        if not cfg.do_stable_layer_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_ln")(x)
+
+        hidden_states = [x] if output_hidden_states else None
+        position_bias = None
+        for i in range(cfg.num_layers):
+            x, position_bias = EncoderLayer(
+                cfg, has_relative_position_bias=(i == 0), name=f"layers_{i}"
+            )(x, position_bias, frame_mask)
+            if output_hidden_states:
+                hidden_states.append(x)
+        if cfg.do_stable_layer_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_ln")(x)
+            if output_hidden_states:
+                hidden_states[-1] = x
+        return {
+            "last_hidden_state": x,
+            "hidden_states": tuple(hidden_states) if output_hidden_states else None,
+        }
