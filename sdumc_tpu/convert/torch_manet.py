@@ -1,8 +1,9 @@
-"""torch MANet checkpoint -> Flax params (NCHW -> NHWC kernels; BatchNorm
-running stats folded into inference params).
+"""torch MANet checkpoint -> Flax variables (NCHW -> NHWC kernels).
 
-The reference loads its RAF-DB checkpoint with a 'module.' strip and
-strict=False (extract_manet_embedding.py:110-112).
+Returns ``{"params": ..., "batch_stats": ...}``: BatchNorm scale/bias go to
+params, running mean/var to batch_stats (torch-equivalent semantics, see
+models/manet.py BN). The reference loads its RAF-DB checkpoint with a
+'module.' strip and strict=False (extract_manet_embedding.py:110-112).
 """
 
 from __future__ import annotations
@@ -29,57 +30,56 @@ def _set(tree: dict, path, value):
     node[path[-1]] = value
 
 
-def _bn_paths(tree, flax_name, sd, torch_prefix):
-    _set(tree, (*flax_name, "scale"), _a(sd[f"{torch_prefix}.weight"]))
-    _set(tree, (*flax_name, "bias"), _a(sd[f"{torch_prefix}.bias"]))
-    _set(tree, (*flax_name, "mean"), _a(sd[f"{torch_prefix}.running_mean"]))
-    _set(tree, (*flax_name, "var"), _a(sd[f"{torch_prefix}.running_var"]))
-
-
 def torch_manet_to_params(state_dict: Dict) -> dict:
     sd = {}
     for k, v in state_dict.items():
         sd[k[len("module."):] if k.startswith("module.") else k] = v
 
-    p: dict = {}
-    _set(p, ("conv1", "kernel"), _conv(_a(sd["conv1.weight"])))
-    _bn_paths(p, ("bn1",), sd, "bn1")
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(flax_scope, torch_prefix):
+        _set(params, (*flax_scope, "bn", "scale"), _a(sd[f"{torch_prefix}.weight"]))
+        _set(params, (*flax_scope, "bn", "bias"), _a(sd[f"{torch_prefix}.bias"]))
+        _set(stats, (*flax_scope, "bn", "mean"), _a(sd[f"{torch_prefix}.running_mean"]))
+        _set(stats, (*flax_scope, "bn", "var"), _a(sd[f"{torch_prefix}.running_var"]))
+
+    _set(params, ("conv1", "kernel"), _conv(_a(sd["conv1.weight"])))
+    bn(("bn1",), "bn1")
 
     def block_common(scope, prefix):
-        _set(p, (scope, "conv1", "kernel"), _conv(_a(sd[f"{prefix}.conv1.weight"])))
-        _bn_paths(p, (scope, "bn1"), sd, f"{prefix}.bn1")
+        _set(params, (scope, "conv1", "kernel"), _conv(_a(sd[f"{prefix}.conv1.weight"])))
+        bn((scope, "bn1"), f"{prefix}.bn1")
         if f"{prefix}.downsample.0.weight" in sd:
-            _set(p, (scope, "downsample_conv", "kernel"),
+            _set(params, (scope, "downsample_conv", "kernel"),
                  _conv(_a(sd[f"{prefix}.downsample.0.weight"])))
-            _bn_paths(p, (scope, "downsample_bn"), sd, f"{prefix}.downsample.1")
+            bn((scope, "downsample_bn"), f"{prefix}.downsample.1")
 
     def basic_or_attention(scope, prefix):
         block_common(scope, prefix)
-        _set(p, (scope, "conv2", "kernel"), _conv(_a(sd[f"{prefix}.conv2.weight"])))
-        _bn_paths(p, (scope, "bn2"), sd, f"{prefix}.bn2")
+        _set(params, (scope, "conv2", "kernel"), _conv(_a(sd[f"{prefix}.conv2.weight"])))
+        bn((scope, "bn2"), f"{prefix}.bn2")
         if f"{prefix}.cbam.ChannelGate.mlp.1.weight" in sd:
-            _set(p, (scope, "cbam", "gate_fc1", "kernel"),
+            _set(params, (scope, "cbam", "gate_fc1", "kernel"),
                  _a(sd[f"{prefix}.cbam.ChannelGate.mlp.1.weight"]).T)
-            _set(p, (scope, "cbam", "gate_fc1", "bias"),
+            _set(params, (scope, "cbam", "gate_fc1", "bias"),
                  _a(sd[f"{prefix}.cbam.ChannelGate.mlp.1.bias"]))
-            _set(p, (scope, "cbam", "gate_fc2", "kernel"),
+            _set(params, (scope, "cbam", "gate_fc2", "kernel"),
                  _a(sd[f"{prefix}.cbam.ChannelGate.mlp.3.weight"]).T)
-            _set(p, (scope, "cbam", "gate_fc2", "bias"),
+            _set(params, (scope, "cbam", "gate_fc2", "bias"),
                  _a(sd[f"{prefix}.cbam.ChannelGate.mlp.3.bias"]))
-            _set(p, (scope, "cbam", "spatial_conv", "kernel"),
+            _set(params, (scope, "cbam", "spatial_conv", "kernel"),
                  _conv(_a(sd[f"{prefix}.cbam.SpatialGate.spatial.conv.weight"])))
-            _bn_paths(p, (scope, "cbam", "spatial_bn"), sd,
-                      f"{prefix}.cbam.SpatialGate.spatial.bn")
+            bn((scope, "cbam", "spatial_bn"), f"{prefix}.cbam.SpatialGate.spatial.bn")
 
     def mulscale(scope, prefix):
         block_common(scope, prefix)
         for tag in (1, 2):
             for i in range(1, 5):
-                _set(p, (scope, f"conv{tag}_2_{i}", "kernel"),
+                _set(params, (scope, f"conv{tag}_2_{i}", "kernel"),
                      _conv(_a(sd[f"{prefix}.conv{tag}_2_{i}.weight"])))
-                _bn_paths(p, (scope, f"bn{tag}_2_{i}"), sd, f"{prefix}.bn{tag}_2_{i}")
+                bn((scope, f"bn{tag}_2_{i}"), f"{prefix}.bn{tag}_2_{i}")
 
-    # stages: layer1/2 basic; layer3/4_1_p{1..4} attention; layer3/4_2 mulscale
     n_blocks = 2
     for stage, conv_fn in (
         [("layer1", basic_or_attention), ("layer2", basic_or_attention)]
@@ -93,6 +93,6 @@ def torch_manet_to_params(state_dict: Dict) -> dict:
 
     for fc in ("fc_1", "fc_2"):
         if f"{fc}.weight" in sd:
-            _set(p, (fc, "kernel"), _a(sd[f"{fc}.weight"]).T)
-            _set(p, (fc, "bias"), _a(sd[f"{fc}.bias"]))
-    return p
+            _set(params, (fc, "kernel"), _a(sd[f"{fc}.weight"]).T)
+            _set(params, (fc, "bias"), _a(sd[f"{fc}.bias"]))
+    return {"params": params, "batch_stats": stats}

@@ -39,22 +39,36 @@ def make_train_step(model, beta: float, lr_schedule, momentum=0.9, wd=1e-4):
     import optax
     from flax.training import train_state
 
+    class TrainState(train_state.TrainState):
+        batch_stats: dict = None
+
     tx = optax.chain(
         optax.add_decayed_weights(wd),
         optax.sgd(learning_rate=lr_schedule, momentum=momentum),
     )
 
-    def create_state(params):
-        return train_state.TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    def create_state(variables):
+        return TrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=tx,
+            batch_stats=variables.get("batch_stats", {}),
+        )
 
     @jax.jit
     def step(state, images, labels):
         def loss_fn(p):
-            l1, l2 = model.apply({"params": p}, images, return_embedding=False)
-            return two_head_loss(l1, l2, labels, beta)
+            (l1, l2), updates = model.apply(
+                {"params": p, "batch_stats": state.batch_stats}, images,
+                return_embedding=False, train=True, mutable=["batch_stats"],
+            )
+            loss, acc = two_head_loss(l1, l2, labels, beta)
+            return loss, (acc, updates["batch_stats"])
 
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        return state.apply_gradients(grads=grads), {"loss": loss, "acc": acc}
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, {"loss": loss, "acc": acc}
 
     return create_state, step
 
@@ -125,14 +139,14 @@ def main(argv=None):
     train_paths, train_labels, classes = image_folder(os.path.join(args.data, "train"))
     test_paths, test_labels, _ = image_folder(os.path.join(args.data, "test"))
     model = MANet(MANetConfig(num_classes=len(classes)))
-    params = model.init(
+    variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), return_embedding=False
-    )["params"]
+    )
     steps_per_epoch = len(train_paths) // args.batch_size
     create_state, step = make_train_step(
         model, args.beta, step_lr(args.lr, steps_per_epoch)
     )
-    state = create_state(params)
+    state = create_state(variables)
 
     rng = np.random.default_rng(0)
     best_acc = 0.0
@@ -150,8 +164,9 @@ def main(argv=None):
         correct = 0
         for s in range(0, len(test_paths), args.batch_size):
             imgs = np.stack([load_face(p) for p in test_paths[s : s + args.batch_size]])
-            l1, l2 = model.apply({"params": state.params}, jnp.asarray(imgs),
-                                 return_embedding=False)
+            l1, l2 = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                jnp.asarray(imgs), return_embedding=False)
             pred = np.asarray(jnp.argmax(args.beta * l1 + (1 - args.beta) * l2, -1))
             correct += int((pred == test_labels[s : s + len(pred)]).sum())
         acc = correct / len(test_paths)

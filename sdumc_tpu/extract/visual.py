@@ -31,7 +31,7 @@ def load_face(path: str, size: int = 224) -> np.ndarray:
 
 def extract_video_embeddings(
     model,
-    params,
+    variables,
     frames: List[np.ndarray],
     batch_size: int = 32,
 ) -> np.ndarray:
@@ -41,7 +41,7 @@ def extract_video_embeddings(
 
     @jax.jit
     def run(batch):
-        return model.apply({"params": params}, batch)
+        return model.apply(variables, batch)
 
     out = []
     n = len(frames)
@@ -90,7 +90,7 @@ def main(argv=None):
 
     blob = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
     sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
-    params = torch_manet_to_params(sd)
+    variables = torch_manet_to_params(sd)
     model = MANet(MANetConfig())
 
     save_dir = os.path.join(args.save_dir, f"manet_{args.feature_level[:3]}")
@@ -104,7 +104,7 @@ def main(argv=None):
             feat = np.zeros((1, 1024), np.float32)
         else:
             frames = [load_face(p) for p in paths]
-            feat = extract_video_embeddings(model, params, frames, args.batch_size)
+            feat = extract_video_embeddings(model, variables, frames, args.batch_size)
         if args.feature_level == "UTTERANCE":
             feat = feat.mean(axis=0)
         np.save(os.path.join(save_dir, f"{vid}.npy"), feat.astype(np.float32))

@@ -7,8 +7,9 @@ split) branch — whose two 512-d global-average embeddings concatenate into
 the [T, 1024] per-frame feature (extract_manet_embedding.py:82-92 with
 return_embedding=True).
 
-JAX rebuild in NHWC (TPU conv layout); BatchNorm runs with the converted
-running statistics (inference; the RAF-DB trainer lives in
+JAX rebuild in NHWC (TPU conv layout); BatchNorm carries running stats in
+the `batch_stats` collection (torch semantics: batch stats while training,
+running stats at inference; the RAF-DB trainer lives in
 sdumc_tpu/extract/manet_train.py). Structure mirrors the reference exactly
 so the released RAF-DB checkpoint converts losslessly.
 """
@@ -23,20 +24,21 @@ import jax.numpy as jnp
 
 
 class BN(nn.Module):
-    """Inference BatchNorm over converted running stats (params, not
-    batch_stats — extraction is frozen)."""
+    """BatchNorm with torch semantics: batch statistics during training
+    (running stats updated in the `batch_stats` collection), converted
+    running stats at inference. torch momentum m -> flax momentum 1-m."""
 
     eps: float = 1e-5
+    momentum: float = 0.9  # torch default 0.1
 
     @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        mean = self.param("mean", nn.initializers.zeros, (c,))
-        var = self.param("var", nn.initializers.ones, (c,))
-        inv = scale * jnp.reciprocal(jnp.sqrt(var + self.eps))
-        return (x - mean) * inv + bias
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.eps,
+            name="bn",
+        )(x)
 
 
 def conv3x3(planes, stride=1, name=None):
@@ -55,16 +57,17 @@ class BasicBlock(nn.Module):
     has_downsample: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         identity = x
         out = conv3x3(self.planes, self.stride, name="conv1")(x)
-        out = BN(name="bn1")(out)
+        out = BN(name="bn1")(out, train)
         out = nn.relu(out)
         out = conv3x3(self.planes, name="conv2")(out)
-        out = BN(name="bn2")(out)
+        out = BN(name="bn2")(out, train)
         if self.has_downsample:
             identity = BN(name="downsample_bn")(
-                conv1x1(self.planes, self.stride, name="downsample_conv")(x)
+                conv1x1(self.planes, self.stride, name="downsample_conv")(x),
+                train,
             )
         return nn.relu(out + identity)
 
@@ -76,7 +79,7 @@ class CBAM(nn.Module):
     reduction: int = 16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         c = self.channels
         # channel gate: shared MLP over global avg & max pools
         mlp = [nn.Dense(c // self.reduction, name="gate_fc1"),
@@ -92,7 +95,7 @@ class CBAM(nn.Module):
         # spatial gate: [max_c, mean_c] -> conv7 -> BN -> sigmoid
         comp = jnp.stack([jnp.max(x, axis=-1), jnp.mean(x, axis=-1)], axis=-1)
         s = nn.Conv(1, (7, 7), padding=3, use_bias=False, name="spatial_conv")(comp)
-        s = BN(eps=1e-5, name="spatial_bn")(s)
+        s = BN(eps=1e-5, momentum=0.99, name="spatial_bn")(s, train)
         return x * nn.sigmoid(s)
 
 
@@ -102,17 +105,18 @@ class AttentionBlock(nn.Module):
     has_downsample: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         identity = x
         out = conv3x3(self.planes, self.stride, name="conv1")(x)
-        out = BN(name="bn1")(out)
+        out = BN(name="bn1")(out, train)
         out = nn.relu(out)
         out = conv3x3(self.planes, name="conv2")(out)
-        out = BN(name="bn2")(out)
-        out = CBAM(self.planes, name="cbam")(out)
+        out = BN(name="bn2")(out, train)
+        out = CBAM(self.planes, name="cbam")(out, train)
         if self.has_downsample:
             identity = BN(name="downsample_bn")(
-                conv1x1(self.planes, self.stride, name="downsample_conv")(x)
+                conv1x1(self.planes, self.stride, name="downsample_conv")(x),
+                train,
             )
         return nn.relu(out + identity)
 
@@ -126,11 +130,11 @@ class MulScaleBlock(nn.Module):
     has_downsample: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         identity = x
         w = self.planes // 4
         out = conv3x3(self.planes, self.stride, name="conv1")(x)
-        out = BN(name="bn1")(out)
+        out = BN(name="bn1")(out, train)
         out = nn.relu(out)
         sp = [out[..., i * w:(i + 1) * w] for i in range(4)]
 
@@ -140,7 +144,7 @@ class MulScaleBlock(nn.Module):
             for i in range(4):
                 inp = sp[i] if i == 0 else prev_relu + sp[i]
                 o = conv3x3(w, name=f"conv{tag}_2_{i + 1}")(inp)
-                o = BN(name=f"bn{tag}_2_{i + 1}")(o)
+                o = BN(name=f"bn{tag}_2_{i + 1}")(o, train)
                 outs.append(o)
                 prev_relu = nn.relu(o)
             return jnp.concatenate(outs, axis=-1)
@@ -148,21 +152,10 @@ class MulScaleBlock(nn.Module):
         out = cascade(1) + cascade(2)
         if self.has_downsample:
             identity = BN(name="downsample_bn")(
-                conv1x1(self.planes, self.stride, name="downsample_conv")(x)
+                conv1x1(self.planes, self.stride, name="downsample_conv")(x),
+                train,
             )
         return nn.relu(out + identity)
-
-
-def _stage(block_cls: Callable, inplanes: int, planes: int, blocks: int,
-           stride: int, name: str):
-    def build(x, scope):
-        for i in range(blocks):
-            has_ds = i == 0 and (stride != 1 or inplanes != planes)
-            x = block_cls(planes, stride if i == 0 else 1, has_ds,
-                          name=f"{name}_{i}")(x)
-        return x
-
-    return build
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,13 +168,13 @@ class MANet(nn.Module):
     cfg: MANetConfig = MANetConfig()
 
     @nn.compact
-    def __call__(self, x, *, return_embedding: bool = True):
+    def __call__(self, x, *, return_embedding: bool = True, train: bool = False):
         """x: [B, 224, 224, 3] (NHWC). Returns [B, 1024] embedding (two
         512-d branch embeddings concatenated) or (logits_1, logits_2)."""
         cfg = self.cfg
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     name="conv1")(x)
-        x = BN(name="bn1")(x)
+        x = BN(name="bn1")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -190,7 +183,7 @@ class MANet(nn.Module):
             for i in range(blocks):
                 has_ds = i == 0 and (stride != 1 or inplanes != planes)
                 h = block_cls(planes, stride if i == 0 else 1, has_ds,
-                              name=f"{name}_{i}")(h)
+                              name=f"{name}_{i}")(h, train)
             return h
 
         x = stage(BasicBlock, x, 64, 64, cfg.layers[0], 1, "layer1")

@@ -39,28 +39,28 @@ def torch_manet():
 
 
 def test_manet_embedding_parity(torch_manet):
-    params = torch_manet_to_params(torch_manet.state_dict())
+    variables = torch_manet_to_params(torch_manet.state_dict())
     model = MANet(MANetConfig(num_classes=7))
     rng = np.random.default_rng(0)
     x = rng.normal(size=(2, 3, 224, 224)).astype(np.float32) * 0.5
     with torch.no_grad():
         ref = torch_manet(torch.tensor(x), return_embedding=True).numpy()
     got = np.asarray(
-        model.apply({"params": params}, jnp.array(np.transpose(x, (0, 2, 3, 1))))
+        model.apply(variables, jnp.array(np.transpose(x, (0, 2, 3, 1))))
     )
     assert got.shape == ref.shape == (2, 1024)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
 
 
 def test_manet_logits_parity(torch_manet):
-    params = torch_manet_to_params(torch_manet.state_dict())
+    variables = torch_manet_to_params(torch_manet.state_dict())
     model = MANet(MANetConfig(num_classes=7))
     rng = np.random.default_rng(1)
     x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32) * 0.5
     with torch.no_grad():
         r1, r2 = torch_manet(torch.tensor(x), return_embedding=False)
     g1, g2 = model.apply(
-        {"params": params}, jnp.array(np.transpose(x, (0, 2, 3, 1))),
+        variables, jnp.array(np.transpose(x, (0, 2, 3, 1))),
         return_embedding=False,
     )
     np.testing.assert_allclose(np.asarray(g1), r1.numpy(), rtol=2e-3, atol=2e-4)

@@ -31,10 +31,10 @@ def test_train_step_reduces_loss():
     rng = np.random.default_rng(1)
     imgs = rng.uniform(size=(4, 224, 224, 3)).astype(np.float32)
     labels = np.array([0, 1, 2, 0])
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
-                        return_embedding=False)["params"]
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+                           return_embedding=False)
     create_state, step = make_train_step(model, 0.6, step_lr(0.05, 100))
-    state = create_state(params)
+    state = create_state(variables)
     first = None
     for _ in range(4):
         state, metrics = step(state, jnp.asarray(imgs), jnp.asarray(labels))
