@@ -1,0 +1,268 @@
+// sdumc_data: native data-plane for the sdumc_tpu host input pipeline.
+//
+// The reference's data plane is a 12-process python pool that eagerly reads
+// every .npy into RAM (toolkit/utils/read_data.py:70-91) plus a python
+// collater padding to batch max (:223-248). This library replaces both with
+// C++: a thread-pooled .npy reader and a zero-copy batch assembler that
+// pads (or mean-pool-compresses, func_mapping_feature semantics
+// read_data.py:120-137) directly into a caller-provided [B, T, D] buffer.
+//
+// Exposed as a plain C ABI for ctypes (pybind11 is not in the image).
+//
+// Build: native/build.sh  ->  native/libsdumc_data.so
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- npy read
+// Minimal NPY v1/v2 parser for C-contiguous little-endian arrays
+// ('<f4'/'<f8' payloads; '<f8' is converted to f32 on load).
+struct NpyArray {
+  std::vector<float> data;
+  int64_t rows = 0;
+  int64_t cols = 0;
+  bool ok = false;
+};
+
+bool parse_header(FILE* f, std::string* descr, bool* fortran,
+                  std::vector<int64_t>* shape) {
+  unsigned char magic[8];
+  if (fread(magic, 1, 8, f) != 8) return false;
+  if (memcmp(magic, "\x93NUMPY", 6) != 0) return false;
+  int major = magic[6];
+  uint32_t header_len = 0;
+  if (major == 1) {
+    unsigned char b[2];
+    if (fread(b, 1, 2, f) != 2) return false;
+    header_len = b[0] | (b[1] << 8);
+  } else {
+    unsigned char b[4];
+    if (fread(b, 1, 4, f) != 4) return false;
+    header_len = b[0] | (b[1] << 8) | (b[2] << 16) | (uint32_t(b[3]) << 24);
+  }
+  std::string header(header_len, '\0');
+  if (fread(&header[0], 1, header_len, f) != header_len) return false;
+
+  auto find_value = [&](const std::string& key) -> std::string {
+    size_t p = header.find("'" + key + "'");
+    if (p == std::string::npos) return "";
+    p = header.find(':', p);
+    if (p == std::string::npos) return "";
+    ++p;
+    while (p < header.size() && (header[p] == ' ')) ++p;
+    return header.substr(p);
+  };
+
+  std::string d = find_value("descr");
+  if (d.size() < 2) return false;
+  size_t q1 = d.find('\'');
+  size_t q2 = d.find('\'', q1 + 1);
+  *descr = d.substr(q1 + 1, q2 - q1 - 1);
+
+  std::string fo = find_value("fortran_order");
+  *fortran = fo.rfind("True", 0) == 0;
+
+  std::string sh = find_value("shape");
+  size_t l = sh.find('('), r = sh.find(')');
+  if (l == std::string::npos || r == std::string::npos) return false;
+  std::string inner = sh.substr(l + 1, r - l - 1);
+  shape->clear();
+  char* end = nullptr;
+  const char* cur = inner.c_str();
+  while (*cur) {
+    while (*cur == ' ' || *cur == ',') ++cur;
+    if (!*cur) break;
+    long long v = strtoll(cur, &end, 10);
+    if (end == cur) break;
+    shape->push_back(v);
+    cur = end;
+  }
+  return true;
+}
+
+NpyArray read_npy(const char* path) {
+  NpyArray out;
+  FILE* f = fopen(path, "rb");
+  if (!f) return out;
+  std::string descr;
+  bool fortran = false;
+  std::vector<int64_t> shape;
+  if (!parse_header(f, &descr, &fortran, &shape) || fortran || shape.empty()) {
+    fclose(f);
+    return out;
+  }
+  int64_t rows = shape[0];
+  int64_t cols = 1;
+  for (size_t i = 1; i < shape.size(); ++i) cols *= shape[i];
+  if (shape.size() == 1) {  // utterance-level [D] -> [1, D]
+    cols = shape[0];
+    rows = 1;
+  }
+  int64_t n = rows * cols;
+  out.data.resize(n);
+  if (descr == "<f4") {
+    if (fread(out.data.data(), 4, n, f) != size_t(n)) {
+      fclose(f);
+      return out;
+    }
+  } else if (descr == "<f8") {
+    std::vector<double> tmp(n);
+    if (fread(tmp.data(), 8, n, f) != size_t(n)) {
+      fclose(f);
+      return out;
+    }
+    for (int64_t i = 0; i < n; ++i) out.data[i] = float(tmp[i]);
+  } else {
+    fclose(f);
+    return out;
+  }
+  fclose(f);
+  out.rows = rows;
+  out.cols = cols;
+  out.ok = true;
+  return out;
+}
+
+// func_mapping_feature (read_data.py:120-137): shorter -> zero-pad at end
+// (already implicit in a zeroed dst); longer -> LEFT-pad to a multiple and
+// mean adjacent frames.
+void map_into(const NpyArray& src, float* dst, int64_t dst_len, int64_t dim) {
+  const int64_t n = std::min(src.cols, dim);
+  if (src.rows <= dst_len) {
+    for (int64_t t = 0; t < src.rows; ++t)
+      memcpy(dst + t * dim, src.data.data() + t * src.cols, n * sizeof(float));
+    return;
+  }
+  const int64_t pool =
+      (src.rows % dst_len == 0) ? src.rows / dst_len : src.rows / dst_len + 1;
+  const int64_t pad = pool * dst_len - src.rows;  // virtual leading zeros
+  for (int64_t t = 0; t < dst_len; ++t) {
+    float* row = dst + t * dim;
+    for (int64_t p = 0; p < pool; ++p) {
+      const int64_t s = t * pool + p - pad;  // index into src rows
+      if (s < 0) continue;                   // leading zero-pad rows
+      const float* sr = src.data.data() + s * src.cols;
+      for (int64_t c = 0; c < n; ++c) row[c] += sr[c];
+    }
+    const float inv = 1.0f / float(pool);
+    for (int64_t c = 0; c < n; ++c) row[c] *= inv;
+  }
+}
+
+// ---------------------------------------------------------------- pool
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) {
+    for (int i = 0; i < n; ++i)
+      workers_.emplace_back([this] { loop(); });
+  }
+  ~ThreadPool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+  }
+  void submit(std::function<void()> fn) {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      q_.push(std::move(fn));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void loop() {
+    for (;;) {
+      std::function<void()> fn;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !q_.empty(); });
+        if (stop_ && q_.empty()) return;
+        fn = std::move(q_.front());
+        q_.pop();
+      }
+      fn();
+    }
+  }
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> q_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_ = false;
+};
+
+ThreadPool* pool() {
+  static ThreadPool p(std::max(4u, std::thread::hardware_concurrency()));
+  return &p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Read one .npy; returns rows (or -1) and writes up to max_rows*dim floats
+// into dst (zero-padded). lengths_out gets the true row count.
+int64_t sdumc_read_npy_into(const char* path, float* dst, int64_t max_rows,
+                            int64_t dim) {
+  NpyArray arr = read_npy(path);
+  if (!arr.ok || arr.cols > dim) return -1;
+  memset(dst, 0, size_t(max_rows) * dim * sizeof(float));
+  map_into(arr, dst, max_rows, dim);
+  return std::min(arr.rows, max_rows);
+}
+
+// Assemble a [batch, bucket, dim] float32 batch from `batch` .npy paths
+// (concatenated, NUL-separated) in parallel. lengths[b] receives each clip's
+// true (pre-pad, post-compress) length. Returns 0 on success, -1 if any
+// file failed.
+int sdumc_fill_batch(const char* paths, int64_t batch, int64_t bucket,
+                     int64_t dim, float* dst, int64_t* lengths) {
+  std::atomic<int> failed{0};
+  std::atomic<int64_t> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+
+  const char* cur = paths;
+  std::vector<std::string> files;
+  for (int64_t b = 0; b < batch; ++b) {
+    files.emplace_back(cur);
+    cur += files.back().size() + 1;
+  }
+
+  memset(dst, 0, size_t(batch) * bucket * dim * sizeof(float));
+  for (int64_t b = 0; b < batch; ++b) {
+    pool()->submit([&, b] {
+      NpyArray arr = read_npy(files[b].c_str());
+      if (!arr.ok || arr.cols > dim) {
+        failed.fetch_add(1);
+      } else {
+        map_into(arr, dst + b * bucket * dim, bucket, dim);
+        lengths[b] = std::min(arr.rows, bucket);
+      }
+      if (done.fetch_add(1) + 1 == batch) {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.notify_all();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == batch; });
+  return failed.load() ? -1 : 0;
+}
+
+int sdumc_version() { return 1; }
+
+}  // extern "C"

@@ -50,6 +50,14 @@ class NpyDirSource:
             arr = self._read(clip)
         return arr
 
+    def path_for(self, clip: str) -> str:
+        return os.path.join(self.root, clip + ".npy")
+
+    def length_of(self, clip: str) -> int:
+        """Sequence length from the npy header only (no payload read)."""
+        shape = npy_header_shape(self.path_for(clip))
+        return shape[0] if len(shape) > 1 else 1
+
     @property
     def dim(self) -> int:
         if self._cache:
@@ -58,6 +66,22 @@ class NpyDirSource:
             if fn.endswith(".npy"):
                 return self._read(fn[:-4]).shape[-1]
         raise FileNotFoundError(f"no .npy files under {self.root}")
+
+
+def npy_header_shape(path: str) -> tuple:
+    """Parse just the .npy header for the array shape (cheap length probe
+    used by the native batching fast path)."""
+    import ast
+
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        assert magic[:6] == b"\x93NUMPY", path
+        if magic[6] == 1:
+            (hlen,) = np.frombuffer(f.read(2), "<u2")
+        else:
+            (hlen,) = np.frombuffer(f.read(4), "<u4")
+        header = ast.literal_eval(f.read(int(hlen)).decode("latin1"))
+    return tuple(header["shape"])
 
 
 class SyntheticSource:

@@ -94,9 +94,11 @@ class BatchIterator:
                 # window by audio length, re-chunk — keeps shuffling global
                 # while making batch members similarly sized.
                 window = self.bs * self.length_pool
-                lens = np.array(
-                    [len(self.ds.sources["audio"].get(self.ds.names[i])) for i in idx]
+                src = self.ds.sources["audio"]
+                length_of = getattr(src, "length_of", None) or (
+                    lambda name: len(src.get(name))
                 )
+                lens = np.array([length_of(self.ds.names[i]) for i in idx])
                 out = []
                 for s in range(0, n, window):
                     w = idx[s : s + window]
@@ -106,12 +108,54 @@ class BatchIterator:
             idx = idx[self.shard_index :: self.shard_count]
         return idx
 
+    def _native_usable(self) -> bool:
+        from sdumc_tpu.data import native
+
+        return (
+            self.ds.feat_scale <= 1
+            and native.available()
+            and all(hasattr(s, "path_for") for s in self.ds.sources.values())
+        )
+
+    def _native_batch(self, chunk) -> Batch:
+        """C++ fast path: header-probe lengths, then thread-pooled read +
+        pad/compress straight into the batch buffers (data/native.py)."""
+        from sdumc_tpu.data import native
+        from sdumc_tpu.data.collate import bucket_for
+
+        names = [self.ds.names[int(i)] for i in chunk]
+        mats, t_max, lengths = {}, [], []
+        for key in ("audio", "text", "video", "feat4"):
+            src = self.ds.sources[key]
+            lens = [src.length_of(n) for n in names]
+            tm = min(max(lens), self.buckets[-1])
+            bucket = bucket_for(tm, self.buckets)
+            batch, got_lens = native.fill_batch(
+                [src.path_for(n) for n in names], bucket, src.dim
+            )
+            mats[key] = batch
+            t_max.append(tm)
+            lengths.append(np.minimum(lens, self.buckets[-1]))
+        labels = [self.ds.labels[int(i)] for i in chunk]
+        return Batch(
+            audio=mats["audio"], text=mats["text"], video=mats["video"],
+            feat4=mats["feat4"], t_max=tuple(t_max),
+            lengths=np.array(lengths, np.int32),
+            emos=np.array([l.get("emo", 0.0) for l in labels], np.float32),
+            vals=np.array([l.get("val", 0.0) for l in labels], np.float32),
+            names=names,
+        )
+
     def _batches(self) -> Iterator[Batch]:
         idx = self._order()
+        use_native = self._native_usable()
         for s in range(0, len(idx), self.bs):
             chunk = idx[s : s + self.bs]
             if self.drop_remainder and len(chunk) < self.bs:
                 return
+            if use_native:
+                yield self._native_batch(chunk)
+                continue
             feats, emos, vals, names = [], [], [], []
             for i in chunk:
                 f, e, v, n = self.ds.example(int(i))

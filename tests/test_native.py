@@ -1,0 +1,105 @@
+"""Native C++ data plane vs the python reference semantics."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from sdumc_tpu.data import native
+from sdumc_tpu.data.collate import mapping_feature
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_library():
+    if not native.available():
+        rc = subprocess.run(
+            ["sh", os.path.join(REPO, "native", "build.sh")],
+            capture_output=True, text=True,
+        )
+        if rc.returncode != 0:
+            pytest.skip(f"native build failed: {rc.stderr[-500:]}")
+    assert native.available()
+
+
+def test_fill_batch_matches_python(tmp_path):
+    rng = np.random.default_rng(0)
+    dim, bucket = 24, 16
+    lens = [5, 16, 3, 40]  # includes an overlong clip (mean-pool compress)
+    paths = []
+    arrays = []
+    for i, ln in enumerate(lens):
+        arr = rng.normal(size=(ln, dim)).astype(np.float32)
+        p = tmp_path / f"clip_{i}.npy"
+        np.save(p, arr)
+        paths.append(str(p))
+        arrays.append(arr)
+
+    batch, lengths = native.fill_batch(paths, bucket, dim)
+    assert batch.shape == (4, bucket, dim)
+    for i, arr in enumerate(arrays):
+        expected = np.zeros((bucket, dim), np.float32)
+        mapped = mapping_feature(arr, bucket) if len(arr) > bucket else arr
+        expected[: len(mapped)] = mapped
+        np.testing.assert_allclose(batch[i], expected, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"clip {i} len {lens[i]}")
+        assert lengths[i] == min(lens[i], bucket)
+
+
+def test_float64_and_1d_inputs(tmp_path):
+    rng = np.random.default_rng(1)
+    a64 = rng.normal(size=(6, 8))  # float64
+    a1d = rng.normal(size=(8,)).astype(np.float32)  # utterance-level [D]
+    np.save(tmp_path / "f64.npy", a64)
+    np.save(tmp_path / "f1d.npy", a1d)
+    batch, lengths = native.fill_batch(
+        [str(tmp_path / "f64.npy"), str(tmp_path / "f1d.npy")], 8, 8
+    )
+    np.testing.assert_allclose(batch[0, :6], a64.astype(np.float32), rtol=1e-6)
+    np.testing.assert_allclose(batch[1, :1], a1d[None], rtol=1e-6)
+    assert list(lengths) == [6, 1]
+
+
+def test_missing_file_raises(tmp_path):
+    with pytest.raises(IOError):
+        native.fill_batch([str(tmp_path / "nope.npy")], 8, 8)
+
+
+def test_pipeline_native_path_matches_python(tmp_path):
+    """BatchIterator's C++ fast path must emit byte-identical batches to the
+    pure-python collate."""
+    from sdumc_tpu.data.feature_store import NpyDirSource
+    from sdumc_tpu.data.pipeline import BatchIterator, MoseiDataset
+
+    rng = np.random.default_rng(3)
+    dims = {"audio": 12, "text": 20, "video": 12, "feat4": 20}
+    names = [f"c{i}" for i in range(6)]
+    for feat, d in dims.items():
+        os.makedirs(tmp_path / feat, exist_ok=True)
+        for i, n in enumerate(names):
+            ln = int(rng.integers(3, 40))
+            np.save(tmp_path / feat / f"{n}.npy",
+                    rng.normal(size=(ln, d)).astype(np.float32))
+    sources = {k: NpyDirSource(str(tmp_path), k) for k in dims}
+    labels = [{"emo": 0.0, "val": float(i)} for i in range(6)]
+    ds = MoseiDataset(names, labels, sources)
+
+    def batches(force_python):
+        it = BatchIterator(ds, 3, shuffle=False, buckets=(8, 16, 32), prefetch=0)
+        if force_python:
+            it._native_usable = lambda: False
+        return list(it)
+
+    native_batches = batches(False)
+    python_batches = batches(True)
+    assert len(native_batches) == len(python_batches) == 2
+    for nb, pb in zip(native_batches, python_batches):
+        assert nb.t_max == pb.t_max
+        np.testing.assert_allclose(nb.audio, pb.audio, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(nb.text, pb.text, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(nb.feat4, pb.feat4, rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(nb.lengths, pb.lengths)
+        np.testing.assert_array_equal(nb.vals, pb.vals)
+        assert nb.names == pb.names
