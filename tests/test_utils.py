@@ -1,0 +1,143 @@
+"""Utility-subsystem tests: noise SNR, file IO, preprocess, tuner, modules."""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _write_wav(path, data_i16, framerate=16000):
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(framerate)
+        f.writeframes(np.asarray(data_i16, "<i2").tobytes())
+
+
+def test_noise_injection_hits_target_snr(tmp_path):
+    from sdumc_tpu.utils.noise import add_noise_dir, read_pcm16, rms
+
+    rng = np.random.default_rng(0)
+    clean_dir = tmp_path / "audio"
+    noise_dir = tmp_path / "noise"
+    os.makedirs(clean_dir), os.makedirs(noise_dir)
+    clean = (rng.normal(size=16000) * 3000).astype(np.int16)
+    _write_wav(clean_dir / "a.wav", clean)
+    _write_wav(noise_dir / "n.wav", (rng.normal(size=48000) * 3000).astype(np.int16))
+
+    out_dir = add_noise_dir(str(clean_dir), str(noise_dir), [10.0], workers=1)
+    mixed, _ = read_pcm16(os.path.join(out_dir, "a.wav"))
+    noise_part = mixed - clean.astype(np.float64)
+    snr = 20 * np.log10(rms(clean.astype(np.float64)) / rms(noise_part))
+    assert abs(snr - 10.0) < 1.0, snr
+
+
+def test_key_csv_roundtrip(tmp_path):
+    from sdumc_tpu.utils.files import read_key_csv, write_key_csv
+
+    names = ["a", "b"]
+    write_key_csv(tmp_path / "t.csv", names, {"a": ["hi"], "b": ["yo"]}, ["english"])
+    got_names, mapping = read_key_csv(tmp_path / "t.csv", "english")
+    assert got_names == names and mapping == {"a": "hi", "b": "yo"}
+
+
+def test_preprocess_label_npz_roundtrip(tmp_path):
+    import pickle
+
+    from sdumc_tpu.data.labels import read_names_labels
+    from sdumc_tpu.preprocess.cmumosei import generate_transcription, normalize_dataset_format
+
+    videoIDs = {"vidA": ["vidA_0", "vidA_1"], "vidB": ["vidB_0"]}
+    videoLabels = {"vidA": [1.5, -0.5], "vidB": [2.0]}
+    videoSentences = {"vidA": ["hello there", "again"], "vidB": ["bye"]}
+    blob = (videoIDs, videoLabels, None, videoSentences, ["vidA"], ["vidB"], ["vidA"])
+    pkl = tmp_path / "labels.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(blob, f)
+
+    npz = tmp_path / "label.npz"
+    normalize_dataset_format(str(pkl), str(npz))
+    names, labels = read_names_labels(str(npz), "train")
+    assert names == ["vidA_0", "vidA_1"]
+    assert labels[0] == {"emo": 0, "val": 1.5}
+
+    csv_path = tmp_path / "trans.csv"
+    generate_transcription(str(pkl), str(csv_path))
+    from sdumc_tpu.utils.files import read_key_csv
+
+    got, mapping = read_key_csv(csv_path, "english")
+    assert mapping["vidA_0"] == "hello there"
+
+
+def test_ms_to_timestamp():
+    from sdumc_tpu.preprocess.cmumosei import ms_to_timestamp
+
+    assert ms_to_timestamp(0) == "00:00:00.000"
+    assert ms_to_timestamp(3_723_456) == "01:02:03.456"
+
+
+def test_tuner_draws_within_grid():
+    from sdumc_tpu.core.tuner import TUNE_GRIDS, merge_args_config, random_select
+
+    grid = TUNE_GRIDS["wengnet_mosei_mult_views_text_missing"]
+    draw = random_select(grid, seed=0)
+    assert set(draw) == set(grid)
+    for k, v in draw.items():
+        assert v in grid[k]
+    assert random_select(grid, seed=0) == draw  # seeded determinism
+
+    import types
+
+    args = types.SimpleNamespace(lr=0.0, batch_size=0, unknown=1)
+    args, applied = merge_args_config(args, "wengnet_mosei_mult_views_text_missing", seed=1)
+    assert args.lr in grid["lr"] and args.batch_size in grid["batch_size"]
+
+
+def test_cross_modal_encoder_shapes_and_grad():
+    from sdumc_tpu.models.modules import CrossModalTransformerEncoder, sinusoidal_positions
+
+    table = sinusoidal_positions(10, 8)
+    assert table.shape == (10, 8)
+    enc = CrossModalTransformerEncoder(dim=16, layers=2, heads=4)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(2, 9, 16)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), q, kv)["params"]
+    out = enc.apply({"params": params}, q, kv)
+    assert out.shape == (2, 5, 16)
+    self_out = enc.apply({"params": params}, q)
+    assert self_out.shape == (2, 5, 16)
+    g = jax.grad(lambda p: jnp.sum(enc.apply({"params": p}, q, kv) ** 2))(params)
+    assert np.isfinite(float(jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
+
+
+def test_lstm_and_mlp_encoders():
+    from sdumc_tpu.models.modules import LSTMEncoder, MLPEncoder
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(3, 7, 12)), jnp.float32)
+    lstm = LSTMEncoder(hidden=8, out_dim=6)
+    p = lstm.init(jax.random.PRNGKey(0), x)["params"]
+    assert lstm.apply({"params": p}, x).shape == (3, 6)
+
+    u = jnp.asarray(rng.normal(size=(3, 12)), jnp.float32)
+    mlp = MLPEncoder(hidden=8, out_dim=6)
+    p = mlp.init(jax.random.PRNGKey(0), u)["params"]
+    assert mlp.apply({"params": p}, u).shape == (3, 6)
+
+
+def test_step_timer_and_trace_noop():
+    from sdumc_tpu.utils.profiling import StepTimer, trace
+
+    t = StepTimer()
+    for _ in range(3):
+        with t:
+            pass
+    assert t.count == 3 and t.avg is not None
+    with trace(enabled=False):
+        pass
