@@ -32,6 +32,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     add_reference_args(parser)
     add_tpu_args(parser)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="orbax 'latest' checkpoint dir to resume from")
     args = parser.parse_args(argv)
     cfg = args_to_config(args)
     print(cfg.to_json())
@@ -58,7 +60,7 @@ def main(argv=None):
         print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
 
     t0 = time.time()
-    result = train(cfg, model, params, train_ds, eval_ds, test_ds, mesh=mesh)
+    result = train(cfg, model, params, train_ds, eval_ds, test_ds, mesh=mesh, resume_from=args.resume)
     print(f">>>>> Finish: training duration {time.time() - t0:.1f}s >>>>>")
     print("best_test_full:", result["best_full"])
     print("best_test_missing:", result["best_missing"])

@@ -18,6 +18,7 @@ from sdumc_tpu.models.wavlm import WavLMConfig
 
 
 def config_from_hf(hf_config) -> WavLMConfig:
+    is_wavlm = hasattr(hf_config, "num_buckets")
     return WavLMConfig(
         hidden_size=hf_config.hidden_size,
         num_layers=hf_config.num_hidden_layers,
@@ -31,9 +32,10 @@ def config_from_hf(hf_config) -> WavLMConfig:
         do_stable_layer_norm=hf_config.do_stable_layer_norm,
         num_conv_pos_embeddings=hf_config.num_conv_pos_embeddings,
         num_conv_pos_embedding_groups=hf_config.num_conv_pos_embedding_groups,
-        num_buckets=hf_config.num_buckets,
-        max_bucket_distance=hf_config.max_bucket_distance,
+        num_buckets=getattr(hf_config, "num_buckets", 320),
+        max_bucket_distance=getattr(hf_config, "max_bucket_distance", 800),
         layer_norm_eps=hf_config.layer_norm_eps,
+        use_rel_pos_bias=is_wavlm,
     )
 
 
@@ -153,7 +155,16 @@ def hf_wavlm_to_params(state_dict: Dict) -> dict:
 
 
 def load_hf_wavlm(model_dir: str):
+    """Load a WavLM / wav2vec2 / HuBERT checkpoint (the reference's audio
+    extractor dispatches on the model name the same way,
+    extract_transformers_embedding.py:36-57)."""
     import transformers
 
-    hf = transformers.WavLMModel.from_pretrained(model_dir)
+    name = model_dir.lower()
+    if "wav2vec" in name:
+        hf = transformers.Wav2Vec2Model.from_pretrained(model_dir)
+    elif "hubert" in name:
+        hf = transformers.HubertModel.from_pretrained(model_dir)
+    else:
+        hf = transformers.WavLMModel.from_pretrained(model_dir)
     return config_from_hf(hf.config), hf_wavlm_to_params(hf.state_dict())

@@ -131,6 +131,11 @@ class LossConfig:
     features_w: float = 0.13
     rnc_w: float = 0.5
     rnc_temperature: float = 2.0
+    # On-device frame-dropout augmentation for audio/video streams. The
+    # reference computes 20% dropout masks but never uses them (dead code,
+    # main_frame_val_text_missing.py:123-129); 0.0 reproduces the live
+    # behavior, >0 enables the augmentation on-device (SURVEY north star).
+    frame_dropout_p: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -67,10 +67,26 @@ def extract_audio_features(
         idxs = {i % len(hs) for i in layer_ids if -len(hs) <= i < len(hs)}
         return sum(hs[i] for i in sorted(idxs))
 
+    # Frame-budget batching: WavLM attention (with its [B, H, T, T] gated
+    # position bias) is O(B*T^2) memory, so long buckets get small batches.
+    # TODO(round 2): factored-bias flash-attention kernel (the stock pallas
+    # flash_attention takes a dense `ab` bias, which keeps the O(T^2) HBM
+    # cost) to lift this cap.
+    frame_budget = batch_size * cfg.output_length(buckets[1])
     order = np.argsort([len(w) for w in wavs], kind="stable")
     results: List = [None] * len(wavs)
-    for s in range(0, len(order), batch_size):
-        chunk = order[s : s + batch_size]
+    chunks = []
+    cur: List[int] = []
+    for i in order:
+        t = cfg.output_length(len(wavs[i]))
+        cap = max(1, frame_budget // max(t, 1))
+        if cur and len(cur) >= max(1, min(batch_size, cap)):
+            chunks.append(cur)
+            cur = []
+        cur.append(i)
+    if cur:
+        chunks.append(cur)
+    for chunk in chunks:
         group = [zero_mean_unit_var(wavs[i]) for i in chunk]
         maxlen = max(len(w) for w in group)
         bucket = next((b for b in buckets if maxlen <= b), maxlen)

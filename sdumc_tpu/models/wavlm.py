@@ -47,6 +47,10 @@ class WavLMConfig:
     max_bucket_distance: int = 800
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.float32
+    # False = plain MHA (wav2vec2 / HuBERT — same trunk, no gated relative
+    # position bias; the reference's audio extractor supports all three
+    # families, extract_transformers_embedding.py:36-57)
+    use_rel_pos_bias: bool = True
 
     @staticmethod
     def tiny(**kw) -> "WavLMConfig":
@@ -163,6 +167,18 @@ class WavLMAttention(nn.Module):
         H = cfg.num_heads
         hd = D // H
 
+        if not cfg.use_rel_pos_bias:
+            # wav2vec2/HuBERT attention: no bias, no gating
+            q = nn.Dense(D, name="q_proj")(x).reshape(B, T, H, hd)
+            k = nn.Dense(D, name="k_proj")(x).reshape(B, T, H, hd)
+            v = nn.Dense(D, name="v_proj")(x).reshape(B, T, H, hd)
+            scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(hd)
+            if pad_mask is not None:
+                scores = jnp.where(pad_mask[:, None, None, :], scores, -1e30)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, D)
+            return nn.Dense(D, name="out_proj")(out), None
+
         if position_bias is None:
             assert self.has_relative_position_bias
             rel_embed = self.param(
@@ -172,7 +188,11 @@ class WavLMAttention(nn.Module):
             buckets = relative_position_buckets(
                 T, T, cfg.num_buckets, cfg.max_bucket_distance
             )
-            position_bias = jnp.transpose(rel_embed[buckets], (2, 0, 1))  # [H,T,T]
+            # jnp.take (not fancy indexing): params may arrive as raw numpy
+            # from the converter, which can't be indexed by traced arrays.
+            position_bias = jnp.transpose(
+                jnp.take(jnp.asarray(rel_embed), buckets, axis=0), (2, 0, 1)
+            )  # [H, T, T]
 
         # --- gru_rel_pos gating of the shared bias
         gru_const = self.param("gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1))

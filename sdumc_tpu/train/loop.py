@@ -90,6 +90,7 @@ def train(
     test_ds: MoseiDataset,
     mesh=None,
     log=print,
+    resume_from: Optional[str] = None,
 ) -> Dict:
     steps_per_epoch = max(len(train_ds) // cfg.data.batch_size, 1)
     lr_sched = make_lr_schedule(
@@ -104,8 +105,19 @@ def train(
     best_full = {"mae": float("inf")}
     best_missing = {"mae": float("inf")}
     history = []
+    start_epoch = 0
 
-    for epoch in range(cfg.train.epochs):
+    # --- fault-tolerant resume (the reference has none, SURVEY §5): restore
+    # full optimizer state + bests from the per-epoch "latest" checkpoint.
+    if resume_from:
+        blob = load_checkpoint_full(resume_from, state)
+        state = blob["state"]
+        start_epoch = int(blob["epoch"]) + 1
+        best_full = blob.get("best_full", best_full)
+        best_missing = blob.get("best_missing", best_missing)
+        log(f"resumed from {resume_from} at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         it = BatchIterator(
             train_ds, cfg.data.batch_size,
@@ -136,6 +148,9 @@ def train(
         if tr_missing["mae"] <= best_missing.get("mae", float("inf")):
             best_missing = dict(tr_missing, epoch=epoch)
             save_checkpoint(cfg, state, tag="best_missing")
+        # per-epoch resumable checkpoint (params + optimizer + bests)
+        save_checkpoint(cfg, state, tag="latest", epoch=epoch,
+                        best_full=best_full, best_missing=best_missing)
 
         log(
             f"epoch:{epoch + 1}; train_val_mse_full:{train_mse_full:.4f}; "
@@ -162,20 +177,32 @@ def train(
     }
 
 
-def save_checkpoint(cfg: ExperimentConfig, state, tag: str = "latest") -> Optional[str]:
+def save_checkpoint(cfg: ExperimentConfig, state, tag: str = "latest",
+                    epoch: Optional[int] = None, best_full: Optional[dict] = None,
+                    best_missing: Optional[dict] = None) -> Optional[str]:
     """Orbax save (reference equivalent: torch.save of
-    {'epoch','state_dict','optimizer'}, main:375)."""
+    {'epoch','state_dict','optimizer'}, main:375). The 'latest' tag also
+    carries the optimizer state for mid-run resume."""
     try:
         import orbax.checkpoint as ocp
     except ImportError:
         return None
     path = os.path.abspath(os.path.join(cfg.train.checkpoint_dir, tag))
+    blob = {"params": jax.device_get(state.params), "step": int(state.step)}
+    if epoch is not None:
+        blob["opt_state"] = jax.device_get(state.opt_state)
+        blob["epoch"] = int(epoch)
+        # fixed structure for orbax restore-with-target
+        blob["best_full"] = {
+            "mae": float((best_full or {}).get("mae", 1e9)),
+            "epoch": int((best_full or {}).get("epoch", -1)),
+        }
+        blob["best_missing"] = {
+            "mae": float((best_missing or {}).get("mae", 1e9)),
+            "epoch": int((best_missing or {}).get("epoch", -1)),
+        }
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(
-        path,
-        {"params": jax.device_get(state.params), "step": int(state.step)},
-        force=True,
-    )
+    ckptr.save(path, blob, force=True)
     ckptr.wait_until_finished()
     return path
 
@@ -185,3 +212,37 @@ def load_checkpoint(path: str):
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path))
+
+
+def load_checkpoint_full(path: str, template_state):
+    """Restore a 'latest' checkpoint into a TrainState (params + optimizer +
+    step), using the freshly-built state as the structure template."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "params": jax.device_get(template_state.params),
+        "step": 0,
+        "opt_state": jax.device_get(template_state.opt_state),
+        "epoch": 0,
+        "best_full": {"mae": 1e9, "epoch": -1},
+        "best_missing": {"mae": 1e9, "epoch": -1},
+    }
+    blob = ckptr.restore(os.path.abspath(path), target=target)
+    state = template_state.replace(
+        params=blob["params"],
+        opt_state=blob["opt_state"],
+        step=jnp_int(blob["step"]),
+    )
+    return {
+        "state": state,
+        "epoch": blob["epoch"],
+        "best_full": blob["best_full"],
+        "best_missing": blob["best_missing"],
+    }
+
+
+def jnp_int(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, jnp.int32)

@@ -12,7 +12,8 @@ loss (:148) distills teacher representations into the student:
        + w_rnc  * RnC(stack(rnc_0, rnc_1), vals)
 
 (The reference also computes random 20% frame-dropout masks whose results
-are never used, :123-129 — dead code, intentionally not reproduced.)
+are never used, :123-129 — dead code there; here it is a real on-device
+augmentation gated by LossConfig.frame_dropout_p, default off.)
 
 The whole dual-view step is one jit graph: both forwards, the loss, the
 grad, and the Adam update, with batch data sharded over the mesh's data
@@ -44,12 +45,22 @@ def dual_view_loss(
     """Compute the mixed distillation loss for one batch dict with keys
     audio/text/video/feat4 [B,T,D], vals [B], t_max (4 traced scalars)."""
     ta, tt, tv, tf4 = batch["t_max"]
-    rng0, rng1 = jax.random.split(rng)
+    rng0, rng1, rng_aug = jax.random.split(rng, 3)
     vals = batch["vals"]
+
+    audio, video = batch["audio"], batch["video"]
+    if loss_cfg.frame_dropout_p > 0.0 and not deterministic:
+        # on-device frame dropout for the time-series modalities (the
+        # reference's dead-code masks, main:123-129, made a real option)
+        ka, kv_ = jax.random.split(rng_aug)
+        keep_a = jax.random.uniform(ka, (audio.shape[0], audio.shape[1], 1))
+        keep_v = jax.random.uniform(kv_, (video.shape[0], video.shape[1], 1))
+        audio = audio * (keep_a > loss_cfg.frame_dropout_p)
+        video = video * (keep_v > loss_cfg.frame_dropout_p)
 
     vals0, aux0 = model.apply(
         {"params": params},
-        batch["audio"], batch["text"], batch["video"],
+        audio, batch["text"], video,
         t_max=(ta, tt, tv),
         missing=False,
         deterministic=deterministic,
@@ -57,7 +68,7 @@ def dual_view_loss(
     )
     vals1, aux1 = model.apply(
         {"params": params},
-        batch["audio"], batch["feat4"], batch["video"],
+        audio, batch["feat4"], video,
         t_max=(ta, tf4, tv),
         missing=True,
         deterministic=deterministic,

@@ -140,3 +140,33 @@ def test_prefetch_propagates_errors():
     )
     with pytest.raises(RuntimeError, match="boom"):
         list(BatchIterator(ds, 1, shuffle=False))
+
+
+def test_packed_feature_store_roundtrip(tmp_path):
+    """Packed blob store (the working LMDB-variant equivalent) round-trips
+    and serves the source protocol."""
+    import os
+
+    from sdumc_tpu.data.packed import PackedSource, pack_features
+
+    rng = np.random.default_rng(7)
+    src = tmp_path / "feat"
+    os.makedirs(src)
+    arrays = {}
+    for i in range(5):
+        arr = rng.normal(size=(int(rng.integers(1, 9)), 6)).astype(np.float32)
+        arrays[f"c{i}"] = arr
+        np.save(src / f"c{i}.npy", arr)
+    # one utterance-level [D] clip
+    utt = rng.normal(size=(6,)).astype(np.float32)
+    arrays["utt"] = utt[None]
+    np.save(src / "utt.npy", utt)
+
+    prefix = str(tmp_path / "pack")
+    pack_features(str(src), prefix)
+    store = PackedSource(prefix)
+    assert store.dim == 6
+    for name, arr in arrays.items():
+        np.testing.assert_array_equal(store.get(name), arr)
+        assert store.length_of(name) == len(arr)
+        assert name in store

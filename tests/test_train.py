@@ -173,3 +173,52 @@ def test_eval_step_runs():
     }
     v0, v1 = ev(params, batch)
     assert v0.shape == v1.shape == (2,)
+
+
+def test_resume_roundtrip(tmp_path):
+    """Fault-tolerant resume: params+optimizer+bests survive a restart and
+    the continued run matches an uninterrupted one."""
+    from sdumc_tpu.data.feature_store import SyntheticSource
+    from sdumc_tpu.data.pipeline import MoseiDataset
+    from sdumc_tpu.train.loop import train
+
+    dims = {"audio": 16, "text": 32, "video": 16, "feat4": 32}
+    sources = {k: SyntheticSource(k, d, 4, 16) for k, d in dims.items()}
+    rng = np.random.default_rng(0)
+    names = [f"c{i}" for i in range(24)]
+    labels = [{"emo": 0.0, "val": float(rng.uniform(-3, 3))} for _ in names]
+    ds = MoseiDataset(names, labels, sources)
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, length_buckets=(16,)),
+        model=ModelConfig(input_dims=(16, 32, 16)),
+        train=TrainConfig(epochs=2, lr=1e-3, checkpoint_dir=str(tmp_path / "ck")),
+    )
+    model = SDUMCFusion(cfg.model)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 4, 16)), jnp.zeros((2, 4, 32)), jnp.zeros((2, 4, 16)),
+    )["params"]
+    import jax as _jax
+    params2 = _jax.tree_util.tree_map(np.array, params)
+
+    full = train(cfg, model, params, ds, ds, ds, log=lambda *a: None)
+
+    # interrupted: 1 epoch, then resume for the second
+    cfg1 = ExperimentConfig(
+        data=cfg.data, model=cfg.model,
+        train=TrainConfig(epochs=1, lr=1e-3, checkpoint_dir=str(tmp_path / "ck2")),
+    )
+    train(cfg1, model, params2, ds, ds, ds, log=lambda *a: None)
+    cfg2 = ExperimentConfig(
+        data=cfg.data, model=cfg.model,
+        train=TrainConfig(epochs=2, lr=1e-3, checkpoint_dir=str(tmp_path / "ck2")),
+    )
+    resumed = train(cfg2, model, params2, ds, ds, ds, log=lambda *a: None,
+                    resume_from=str(tmp_path / "ck2" / "latest"))
+
+    assert np.isclose(resumed["best_full"]["mae"], full["best_full"]["mae"], rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(full["state"].params)
+    l2 = jax.tree_util.tree_leaves(resumed["state"].params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

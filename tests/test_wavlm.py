@@ -93,3 +93,55 @@ def test_batched_masked_extraction_matches_single():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out[1, :t2]), np.asarray(single2[0]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_extract_audio_features_budget_batched():
+    """extract/audio.py's frame-budget batching == per-clip HF extraction."""
+    import torch as _torch
+
+    from sdumc_tpu.extract.audio import extract_audio_features, zero_mean_unit_var
+    from sdumc_tpu.models.wavlm import WavLMModel
+
+    hf, cfg, params = _build("layer", True)
+    model = WavLMModel(cfg)
+    rng = np.random.default_rng(3)
+    wavs = [rng.normal(size=(n,)).astype(np.float32) for n in (300, 800, 555, 1200, 90)]
+    feats = extract_audio_features(model, params, cfg, wavs, layer_ids=(-2,),
+                                   batch_size=2, buckets=(400, 800, 1600))
+    for i in (0, 3, 4):
+        with _torch.no_grad():
+            ref = hf(_torch.tensor(zero_mean_unit_var(wavs[i]))[None],
+                     output_hidden_states=True).hidden_states[-2][0].numpy()
+        np.testing.assert_allclose(feats[i], ref, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("family", ["wav2vec2", "hubert"])
+def test_wav2vec2_hubert_parity(family):
+    """The same trunk with use_rel_pos_bias=False reproduces HF wav2vec2 and
+    HuBERT (the audio extractor's other families)."""
+    if family == "wav2vec2":
+        from transformers import Wav2Vec2Config as HFConfig
+        from transformers import Wav2Vec2Model as HFModel
+    else:
+        from transformers import HubertConfig as HFConfig
+        from transformers import HubertModel as HFModel
+
+    hf_cfg = HFConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+        conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        mask_time_prob=0.0, mask_feature_prob=0.0, layerdrop=0.0,
+    )
+    torch.manual_seed(5)
+    hf = HFModel(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    assert not cfg.use_rel_pos_bias
+    params = hf_wavlm_to_params(hf.state_dict())
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(2, 700)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(wav)).last_hidden_state.numpy()
+    got = WavLMModel(cfg).apply({"params": params}, jnp.array(wav))["last_hidden_state"]
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-4, atol=3e-4)
