@@ -4,3 +4,11 @@ from sdumc_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from sdumc_tpu.parallel.sharding import (  # noqa: F401
+    llama_specs,
+    partition_specs,
+    shard_model_params,
+    shard_params,
+    tp_sharding_summary,
+    wavlm_specs,
+)
