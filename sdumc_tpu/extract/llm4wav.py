@@ -74,13 +74,13 @@ class Feat4Extractor:
         self._project = project
         self._generate = {}
 
-        def make_gen(p_len):
-            def gen(prompt_embeds):
+        def make_gen():
+            def gen(prompt_embeds, prompt_len):
                 return beam_generate(
                     apply_fn, prompt_embeds, llama_cfg, embed_fn=embed_fn,
                     num_beams=num_beams, max_new_tokens=max_new_tokens,
                     eos_id=getattr(tokenizer, "eos_token_id", 2) or 2,
-                    tap_layers=tap_layers,
+                    tap_layers=tap_layers, prompt_len=prompt_len,
                 )
             return jax.jit(gen)
 
@@ -92,15 +92,20 @@ class Feat4Extractor:
 
         proj = np.asarray(self._project(jnp.asarray(wavlm_feats[None])))[0]
         full = np.concatenate([proj, self._prompt_embeds], axis=0)
-        # One compiled program per exact prompt length (correctness first:
-        # right-padding would inject zero embeddings inside the causal span,
-        # changing the generation). TODO(perf): prompt-length bucketing with
-        # an attention mask over pad positions to bound compile count.
-        gen = self._generate.get(len(full))
+        # Prompt-length bucketing: the embeds are LEFT-padded to the bucket
+        # and beam_generate masks the pad slots out of every key set, so a
+        # handful of compiled programs cover the dataset (real WavLM
+        # projections give near-unique prompt lengths) and generation stays
+        # identical to the exact-length program (test_generation.py).
+        n_real = len(full)
+        bucket = _bucket(n_real, self.prompt_buckets)
+        padded = np.zeros((bucket, full.shape[1]), full.dtype)
+        padded[bucket - n_real:] = full
+        gen = self._generate.get(bucket)
         if gen is None:
-            gen = self._make_gen(len(full))
-            self._generate[len(full)] = gen
-        out = gen(jnp.asarray(full[None]))
+            gen = self._make_gen()
+            self._generate[bucket] = gen
+        out = gen(jnp.asarray(padded[None]), jnp.int32(n_real))
         n = int(out["n_steps"])
         return {
             "taps": np.asarray(out["taps"])[:n],

@@ -6,9 +6,13 @@ special-token span stripped via a tokenizer probe (:90-114), fp16 for LLMs
 (:193-196), multi-GPU via accelerate.dispatch_model (:204-210). The Vicuna
 "-gt" variant taps layer -3 (extract_wavlm_vicuna_hd.py:235-241).
 
-TPU rebuild: one jitted LLaMA forward per length bucket; model sharding via
-the mesh's model axis replaces dispatch_model. FRAME saves the meaningful
-token span [T, D]; UTTERANCE mean-pools.
+TPU rebuild: sentences are tokenized up front, grouped into length buckets,
+and run through ONE jitted batched forward per bucket (masks built in-graph
+from the per-row lengths), so a handful of XLA programs cover the dataset
+instead of the reference's one-sentence-at-a-time loop. Tensor-parallel
+sharding of the params over the mesh's ``model`` axis
+(parallel/sharding.llama_specs) replaces dispatch_model for 7B+ models.
+FRAME saves the meaningful token span [T, D]; UTTERANCE mean-pools.
 """
 
 from __future__ import annotations
@@ -17,7 +21,7 @@ import argparse
 import csv
 import os
 import time
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -61,39 +65,69 @@ def extract_text_features(
     layer_ids: Sequence[int] = (-4, -3, -2, -1),
     feature_level: str = "FRAME",
     buckets: Sequence[int] = (16, 32, 64, 128, 256),
+    batch_size: int = 16,
+    mesh=None,
 ) -> List[np.ndarray]:
+    """Batched bucketed extraction. Tokenizes everything first, groups rows
+    into (bucket_len, batch) tiles, and runs one jitted forward per bucket
+    length; pad rows/tokens are masked in-graph, so results are identical to
+    per-sentence forwards (pad-invariance is tested). With ``mesh``, params
+    are expected pre-sharded and inputs are replicated onto the mesh."""
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     start, end = find_token_span(tokenizer)
 
     @jax.jit
-    def run(ids, positions, attn_mask):
+    def run(ids, lengths):
+        B, L = ids.shape
+        positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        key_valid = jnp.arange(L)[None, :] < lengths[:, None]       # [B, L]
+        mask = jnp.where(
+            causal[None] & key_valid[:, None, :], 0.0, -1e30
+        )[:, None]                                                   # [B,1,L,L]
         out = model.apply({"params": params}, input_ids=ids, positions=positions,
-                          attn_mask=attn_mask, output_hidden_states=True)
+                          attn_mask=mask, output_hidden_states=True)
         hs = out["hidden_states"]
         idxs = {i % len(hs) for i in layer_ids if -len(hs) <= i < len(hs)}
         return sum(hs[i] for i in sorted(idxs))
 
-    results = []
-    for sent in sentences:
-        ids = tokenizer(sent)["input_ids"]
+    def put(x):
+        if mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    all_ids = [tokenizer(s)["input_ids"] for s in sentences]
+    # group row indices by bucket (overlong rows get their own exact-length
+    # program — rare, and still batched if several share a length)
+    by_bucket = {}
+    for row, ids in enumerate(all_ids):
         n = len(ids)
         bucket = next((b for b in buckets if n <= b), n)
-        padded = np.zeros((1, bucket), np.int64)
-        padded[0, :n] = ids
-        pos = np.arange(bucket)[None]
-        causal = np.tril(np.ones((bucket, bucket), bool))
-        valid = (np.arange(bucket) < n)[None, :]
-        mask = np.where(causal & valid[None], 0.0, -1e30)[None, None]
-        feats = np.asarray(run(jnp.asarray(padded), jnp.asarray(pos), jnp.asarray(mask[0])))
-        lo = start
-        hi = n + end if end else n
-        span = feats[0, lo:hi]
-        if feature_level == "UTTERANCE":
-            span = span.mean(axis=0)
-        results.append(span.astype(np.float32))
-    return results
+        by_bucket.setdefault(bucket, []).append(row)
+
+    results: List[Optional[np.ndarray]] = [None] * len(sentences)
+    for bucket in sorted(by_bucket):
+        rows = by_bucket[bucket]
+        for ofs in range(0, len(rows), batch_size):
+            chunk = rows[ofs:ofs + batch_size]
+            # fixed batch shape: pad the tail chunk with dummy rows so each
+            # bucket compiles exactly one program
+            ids_np = np.zeros((batch_size, bucket), np.int32)
+            len_np = np.zeros((batch_size,), np.int32)
+            for j, row in enumerate(chunk):
+                ids_np[j, : len(all_ids[row])] = all_ids[row]
+                len_np[j] = len(all_ids[row])
+            feats = np.asarray(run(put(ids_np), put(len_np)))
+            for j, row in enumerate(chunk):
+                n = len(all_ids[row])
+                span = feats[j, start: n + end if end else n]
+                if feature_level == "UTTERANCE":
+                    span = span.mean(axis=0)
+                results[row] = span.astype(np.float32)
+    return results  # type: ignore[return-value]
 
 
 def main(argv=None):
@@ -105,6 +139,10 @@ def main(argv=None):
     parser.add_argument("--model_name", type=str, default="vicuna-7b-v1.5")
     parser.add_argument("--feature_level", type=str, default="FRAME")
     parser.add_argument("--layer_ids", type=str, default="-4,-3,-2,-1")
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree over the mesh model axis "
+                             "(the dispatch_model replacement for 7B+ models)")
     args = parser.parse_args(argv)
 
     import transformers
@@ -117,12 +155,25 @@ def main(argv=None):
     model = LlamaModel(cfg)
     tokenizer = transformers.AutoTokenizer.from_pretrained(args.model_dir)
 
+    mesh = None
+    model_params = params["model"]
+    if args.tp > 1:
+        from sdumc_tpu.parallel import make_mesh
+        from sdumc_tpu.parallel.sharding import (
+            llama_specs, shard_params, tp_sharding_summary)
+
+        mesh = make_mesh(data_parallel=1, model_parallel=args.tp)
+        specs = llama_specs(model_params, mesh)
+        model_params = shard_params(model_params, mesh, specs)
+        print(tp_sharding_summary(model_params, specs))
+
     rows = read_transcripts(args.trans_path)
     os.makedirs(args.save_dir, exist_ok=True)
     t0 = time.time()
     feats = extract_text_features(
-        model, params["model"], tokenizer, [s for _, s in rows],
+        model, model_params, tokenizer, [s for _, s in rows],
         layer_ids=layer_ids, feature_level=args.feature_level,
+        batch_size=args.batch_size, mesh=mesh,
     )
     for (name, _), feat in zip(rows, feats):
         np.save(os.path.join(args.save_dir, f"{name}.npy"), feat)

@@ -47,6 +47,18 @@ def _gather_caches(caches, beam_idx):
     )
 
 
+def _slot_mask(cur_slots: jnp.ndarray, max_len: int, offset) -> jnp.ndarray:
+    """Additive mask [B, 1, T, max_len]: attend cache slots in
+    [offset, cur_slot]. ``offset`` is the number of left-pad slots (traced
+    scalar — 0 for exact-length prompts), which lets one compiled program
+    serve a whole prompt-length bucket."""
+    slots = jnp.arange(max_len)[None, None, None, :]
+    ok = jnp.logical_and(
+        slots <= cur_slots[:, None, :, None], slots >= offset
+    )
+    return jnp.where(ok, 0.0, -1e30)
+
+
 def beam_generate(
     apply_fn: Callable,
     prompt_embeds: jnp.ndarray,
@@ -58,13 +70,22 @@ def beam_generate(
     eos_id: int = 2,
     length_penalty: float = 1.0,
     tap_layers: Sequence[int] = (-4, -3, -2, -1),
+    prompt_len=None,
 ):
     """Beam-search decode from a prompt given as embeddings.
 
     Args:
       apply_fn: bound model fn(inputs_embeds, positions, attn_mask, caches,
         output_hidden_states) -> dict with logits/hidden_states/caches.
-      prompt_embeds: [1, P, D].
+      prompt_embeds: [1, P, D]. With ``prompt_len``, P is a bucket size and
+        the embeds are LEFT-padded: the last ``prompt_len`` slots are real.
+        Left padding keeps the final slot = last real token (so the prefill
+        logit tap stays [:, -1]) and the pad slots are masked out of every
+        key set — generation is bit-equal to the exact-length program
+        (tested), while one compiled program serves the whole bucket
+        (reference recompiles nothing because it runs eager per clip;
+        extract_wavlm_vicuna.py:245-258).
+      prompt_len: optional traced i32 — number of real prompt positions.
       embed_fn: token ids [B, 1] -> embeddings [B, 1, D].
 
     Returns dict with:
@@ -80,13 +101,20 @@ def beam_generate(
     D = prompt_embeds.shape[2]
     max_len = P + max_new_tokens
     lp = length_penalty
+    if prompt_len is None:
+        prompt_len = jnp.int32(P)
+    offset = P - prompt_len  # left-pad slots, 0 for exact-length prompts
 
     # ---- prefill (prompt hidden states are not tapped — reference [1:])
     caches = init_cache(cfg, B, max_len)
     prompt_b = jnp.broadcast_to(prompt_embeds, (B, P, D))
-    pos = jnp.broadcast_to(jnp.arange(P)[None], (B, P))
+    # RoPE positions: pad slots clamp to 0 (their K/V never enter a key set)
+    pos = jnp.broadcast_to(
+        jnp.maximum(jnp.arange(P)[None] - offset, 0), (B, P)
+    )
+    slot = jnp.broadcast_to(jnp.arange(P)[None], (B, P))
     out = apply_fn(inputs_embeds=prompt_b, positions=pos,
-                   attn_mask=cache_mask(pos, max_len), caches=caches)
+                   attn_mask=_slot_mask(slot, max_len, offset), caches=caches)
     caches = out["caches"]
     logp = jax.nn.log_softmax(out["logits"][:, -1].astype(jnp.float32), axis=-1)
 
@@ -122,12 +150,14 @@ def beam_generate(
         return jnp.logical_and(s.step < max_new_tokens, jnp.logical_not(s.done))
 
     def body(s: BeamState) -> BeamState:
-        # ---- forward one token per beam
-        positions = jnp.full((B, 1), P + s.step - 1, jnp.int32)
+        # ---- forward one token per beam (cache slot != RoPE position when
+        # the prompt is left-padded to a bucket)
+        positions = jnp.full((B, 1), 0, jnp.int32) + (prompt_len + s.step - 1)
+        slot = jnp.full((B, 1), P + s.step - 1, jnp.int32)
         out = apply_fn(
             inputs_embeds=embed_fn(s.last_tokens[:, None]),
             positions=positions,
-            attn_mask=cache_mask(positions, max_len),
+            attn_mask=_slot_mask(slot, max_len, offset),
             caches=s.caches,
             output_hidden_states=True,
         )

@@ -83,6 +83,62 @@ def test_find_token_span_with_bos():
     assert (start, end) == (1, 0)
 
 
+class InvertibleTok:
+    """Deterministic whitespace tokenizer with BOS, invertible decode —
+    enough surface for find_token_span + extract_text_features."""
+
+    def __init__(self):
+        self.word2id = {}
+        self.id2word = {1: "<s>"}
+
+    def __call__(self, text, **kw):
+        ids = [1]
+        for w in text.split():
+            if w not in self.word2id:
+                i = 3 + len(self.word2id)
+                self.word2id[w] = i
+                self.id2word[i] = w
+            ids.append(self.word2id[w])
+        return {"input_ids": ids}
+
+    def decode(self, ids):
+        return " ".join(self.id2word.get(i, "?") for i in ids)
+
+
+def test_batched_bucketed_text_extraction_is_pad_invariant():
+    """extract_text_features (bucketed, batched, dummy-row padded) must equal
+    an exact-length per-sentence forward — the batch-1 loop it replaced
+    (reference extract_text_embedding_huggingface.py:139-282)."""
+    from sdumc_tpu.extract.text import extract_text_features
+    from sdumc_tpu.models.llama import LlamaConfig, LlamaModel
+
+    cfg = LlamaConfig.tiny(vocab_size=64)
+    model = LlamaModel(cfg)
+    tok = InvertibleTok()
+    sentences = [
+        "a b", "c d e f g", "a", "h i j k l m n o p q r s",
+        "b c", "d", "q r s t u v w x y z aa bb cc dd ee ff gg",
+    ]
+    ids0 = jnp.asarray([[1, 2, 3]])
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids0)["params"]
+
+    got = extract_text_features(
+        model, params, tok, sentences,
+        layer_ids=(-4, -3, -2, -1), buckets=(4, 8, 16), batch_size=3,
+    )
+
+    for sent, feat in zip(sentences, got):
+        ids = tok(sent)["input_ids"]
+        out = model.apply(
+            {"params": params}, input_ids=jnp.asarray([ids]),
+            output_hidden_states=True,
+        )
+        hs = out["hidden_states"]
+        ref = sum(np.asarray(hs[i]) for i in (-4, -3, -2, -1))[0, 1:]
+        assert feat.shape == ref.shape  # BOS stripped, no padding
+        np.testing.assert_allclose(feat, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_feat4_extractor_matches_hf_pipeline(ref_projector_cls):
     """Full bridge: projector + prompt-free beam-4 generate with taps, vs the
     same computation through torch/HF (the reference's forward,

@@ -101,3 +101,32 @@ def test_beam4_sequence_and_taps_match_hf(setup, seed):
     np.testing.assert_allclose(
         got_taps, ref_taps[: len(got_taps)], rtol=3e-4, atol=3e-4
     )
+
+
+@pytest.mark.parametrize("seed,bucket", [(0, 16), (1, 32), (2, 16)])
+def test_bucketed_prompt_matches_exact_length(setup, seed, bucket):
+    """Left-padded bucketed beam_generate (one program per bucket,
+    extract/llm4wav.py) must reproduce the exact-length program exactly:
+    same tokens, same taps, same step count."""
+    hf, cfg, apply_fn, embed_fn = setup
+    P = 6 + seed
+    prompt = _prompt(seed, P, cfg.hidden_size)
+    max_new = 12
+
+    exact = beam_generate(apply_fn, jnp.array(prompt), cfg, embed_fn=embed_fn,
+                          num_beams=4, max_new_tokens=max_new, eos_id=2)
+
+    padded = np.zeros((1, bucket, cfg.hidden_size), np.float32)
+    padded[:, bucket - P:] = prompt
+    bucketed = beam_generate(apply_fn, jnp.array(padded), cfg,
+                             embed_fn=embed_fn, num_beams=4,
+                             max_new_tokens=max_new, eos_id=2,
+                             prompt_len=jnp.int32(P))
+
+    assert int(exact["n_steps"]) == int(bucketed["n_steps"])
+    assert int(exact["n_tokens"]) == int(bucketed["n_tokens"])
+    np.testing.assert_array_equal(
+        np.asarray(exact["tokens"]), np.asarray(bucketed["tokens"]))
+    np.testing.assert_allclose(
+        np.asarray(exact["taps"]), np.asarray(bucketed["taps"]),
+        rtol=1e-5, atol=1e-5)
