@@ -92,6 +92,50 @@ def bench_ours() -> float:
     return TIMED_EPOCHS * N_CLIPS / dt
 
 
+def bench_train() -> float:
+    """Training throughput: the jitted dual-view distillation step (forward
+    + backward + Adam), canonical recipe bs=96 (shell recipe), metrics kept
+    on device (train/loop.py accumulates without per-step host syncs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdumc_tpu.cli.common import build_model_and_params
+    from sdumc_tpu.core.config import ExperimentConfig
+    from sdumc_tpu.train.state import create_train_state
+    from sdumc_tpu.train.step import make_train_step
+
+    cfg = ExperimentConfig()
+    model, params = build_model_and_params(cfg, DIMS)
+    state = create_train_state(model, jax.device_put(params), lambda s: 1e-4, l2=1e-5)
+    step = make_train_step(model, cfg.loss)
+    rng = jax.random.PRNGKey(0)
+
+    device_batches = []
+    for b in _batches():
+        device_batches.append({
+            "audio": jax.device_put(b.audio), "text": jax.device_put(b.text),
+            "video": jax.device_put(b.video), "feat4": jax.device_put(b.feat4),
+            "vals": jax.device_put(b.vals),
+            "t_max": tuple(jnp.int32(t) for t in b.t_max),
+        })
+
+    def run_epoch(state):
+        acc = None
+        for d in device_batches:
+            state, metrics = step(state, d, rng)
+            acc = metrics if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, metrics)
+        jax.block_until_ready(acc["loss"])
+        return state
+
+    state = run_epoch(state)  # compile all bucket combos
+    t0 = time.perf_counter()
+    for _ in range(TIMED_EPOCHS):
+        state = run_epoch(state)
+    dt = time.perf_counter() - t0
+    return TIMED_EPOCHS * N_CLIPS / dt
+
+
 def bench_torch_reference() -> float:
     """Reference model + reference collate semantics on host torch CPU."""
     import importlib.util
@@ -160,6 +204,7 @@ def get_baseline() -> dict:
 def main():
     baseline = get_baseline()
     ours = bench_ours()
+    train_cps = bench_train()
     base = baseline.get("clips_per_sec") or float("nan")
     vs = ours / base if np.isfinite(base) and base > 0 else None
     import jax
@@ -171,6 +216,7 @@ def main():
                 "value": round(ours, 2),
                 "unit": "clips/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "train_clips_per_sec": round(train_cps, 2),
                 "device": str(jax.devices()[0]),
                 "baseline": baseline.get("device"),
             }

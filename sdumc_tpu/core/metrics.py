@@ -126,3 +126,53 @@ def calculate_binary_results(val_preds: np.ndarray, val_labels: np.ndarray):
         "emoacc": acc,
         "emofscore": f1,
     }
+
+
+def gain_metric_from_results(eval_results: dict, metric_name: str = "emoval") -> float:
+    """Scalar model-selection metric (reference toolkit/utils/metric.py:15-32):
+    'emoval' = fscore - 0.25*mse, 'emo' = fscore, 'val' = -mse,
+    'loss' = -loss."""
+    if metric_name == "emoval":
+        return overall_metric(eval_results["emofscore"], eval_results["valmse"])
+    if metric_name == "emo":
+        return eval_results["emofscore"]
+    if metric_name == "val":
+        return -eval_results["valmse"]
+    if metric_name == "loss":
+        return -eval_results["loss"]
+    raise KeyError(metric_name)
+
+
+def gain_cv_results(folder_save) -> str:
+    """Mean of per-fold eval metrics, formatted like the reference's
+    ablation-log summary (toolkit/utils/metric.py:35-54). Only keys present
+    in the fold dicts appear."""
+    outputs = []
+    for key, tag in (("eval_emofscore", "f1"), ("eval_emoacc", "acc"),
+                     ("eval_valmse", "val")):
+        if key in folder_save[0]:
+            outputs.append(
+                f"{tag}:{float(np.mean([f[key] for f in folder_save])):.4f}")
+    return "_".join(outputs)
+
+
+def average_folds_for_vals(folder_save, testname: str):
+    """Average valence predictions across folds; all test loaders iterate
+    unshuffled so rows align (reference toolkit/utils/metric.py:82-99).
+    Returns (labels, averaged_preds) or ([], []) when absent."""
+    key_l, key_p = f"{testname}_vallabels", f"{testname}_valpreds"
+    if key_l not in folder_save[0]:
+        return [], []
+    labels = folder_save[0][key_l]
+    preds = np.mean([np.asarray(f[key_p]) for f in folder_save], axis=0)
+    return labels, preds
+
+
+def average_folds_for_emos(folder_save, testname: str):
+    """Average emotion probabilities across folds (reference :57-79)."""
+    key_l, key_p = f"{testname}_emolabels", f"{testname}_emoprobs"
+    if key_l not in folder_save[0]:
+        return [], []
+    labels = folder_save[0][key_l]
+    probs = np.mean([np.asarray(f[key_p]) for f in folder_save], axis=0)
+    return labels, list(probs)

@@ -124,18 +124,25 @@ def train(
             shuffle=True, seed=cfg.data.shuffle_seed, epoch=epoch,
             buckets=cfg.data.length_buckets, drop_remainder=True,
         )
-        sq_f = sq_m = cnt = 0.0
+        # Metrics accumulate as device scalars — no per-step host sync (the
+        # reference's .cpu().numpy() per batch, main:156-158, and round-1's
+        # float() per step both blocked the dispatch pipeline). One fetch
+        # per epoch.
+        acc = None
         n_clips = 0
         for batch in it:
             d = batch_to_device_dict(batch, mesh)
             state, metrics = train_step(state, d, rng)
-            sq_f += float(metrics["sq_err_full"])
-            sq_m += float(metrics["sq_err_missing"])
-            cnt += float(metrics["count"])
+            acc = (
+                metrics if acc is None
+                else jax.tree_util.tree_map(jax.numpy.add, acc, metrics)
+            )
             n_clips += batch.size
+        acc = jax.device_get(acc) if acc is not None else {}
         train_time = time.time() - t0
-        train_mse_full = sq_f / max(cnt, 1)
-        train_mse_missing = sq_m / max(cnt, 1)
+        cnt = float(acc.get("count", 0.0))
+        train_mse_full = float(acc.get("sq_err_full", 0.0)) / max(cnt, 1)
+        train_mse_missing = float(acc.get("sq_err_missing", 0.0)) / max(cnt, 1)
 
         eval_results = run_eval(eval_step, state.params, eval_ds, cfg, mesh)
         test_results = run_eval(eval_step, state.params, test_ds, cfg, mesh)

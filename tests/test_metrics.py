@@ -49,3 +49,41 @@ def test_perfect_predictions():
     m = eval_mosei_metric(labels.copy(), labels)
     assert m["mse"] == 0.0 and m["mae"] == 0.0
     assert m["acc7"] == 1.0 and m["acc2"] == 1.0 and m["f1"] == 1.0
+
+
+def test_cv_averaging_matches_reference_semantics():
+    """Fold-averaging: preds mean across folds, metric summary string, and
+    the selection metric (reference toolkit/utils/metric.py:15-99)."""
+    from sdumc_tpu.core.metrics import (
+        average_folds_for_emos, average_folds_for_vals, gain_cv_results,
+        gain_metric_from_results, overall_metric)
+
+    rng = np.random.default_rng(0)
+    labels = rng.uniform(-3, 3, 10)
+    folds = []
+    for k in range(3):
+        folds.append({
+            "eval_valmse": 0.5 + 0.1 * k,
+            "eval_emofscore": 0.7 - 0.05 * k,
+            "test_vallabels": labels,
+            "test_valpreds": labels + 0.1 * (k + 1),
+            "test_emolabels": np.arange(10) % 2,
+            "test_emoprobs": rng.uniform(size=(10, 2)),
+        })
+
+    got_l, got_p = average_folds_for_vals(folds, "test")
+    np.testing.assert_allclose(got_p, labels + 0.2, atol=1e-12)
+    assert np.array_equal(got_l, labels)
+
+    el, ep = average_folds_for_emos(folds, "test")
+    assert len(ep) == 10 and np.array_equal(el, folds[0]["test_emolabels"])
+
+    s = gain_cv_results(folds)
+    assert "f1:0.6500" in s and "val:0.6000" in s
+
+    r = {"emofscore": 0.7, "valmse": 0.5, "loss": 1.0}
+    assert gain_metric_from_results(r, "emoval") == overall_metric(0.7, 0.5)
+    assert gain_metric_from_results(r, "val") == -0.5
+    assert gain_metric_from_results(r, "loss") == -1.0
+
+    assert average_folds_for_vals([{"x": 1}], "test") == ([], [])

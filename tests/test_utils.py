@@ -141,3 +141,44 @@ def test_step_timer_and_trace_noop():
     assert t.count == 3 and t.avg is not None
     with trace(enabled=False):
         pass
+
+
+def test_cmumosi_preprocess_roundtrip(tmp_path):
+    """MOSI pkl 7-tuple -> label npz + transcription csv (reference
+    toolkit/preprocess/cmumosi.py:45-87; no ffmpeg stage for MOSI)."""
+    import pickle
+
+    from sdumc_tpu.data.labels import read_names_labels
+    from sdumc_tpu.preprocess.cmumosi import (
+        generate_transcription, normalize_dataset_format, read_train_val_test)
+    from sdumc_tpu.utils.files import read_key_csv
+
+    video_ids = {"vidA": ["vidA_0", "vidA_1"], "vidB": ["vidB_0"]}
+    video_labels = {"vidA": [1.5, -0.5], "vidB": [2.0]}
+    video_sentences = {"vidA": ["hello there", "ok bye"], "vidB": ["mosi"]}
+    blob = (video_ids, video_labels, None, video_sentences,
+            ["vidA"], [], ["vidB"])
+    save_root = tmp_path / "mosi"
+    save_root.mkdir()
+    with open(save_root / "CMUMOSI_features_raw_2way.pkl", "wb") as f:
+        pickle.dump(blob, f)
+
+    names, labels = read_train_val_test(
+        str(save_root / "CMUMOSI_features_raw_2way.pkl"), "train")
+    assert names == ["vidA_0", "vidA_1"] and labels == [1.5, -0.5]
+
+    counts = normalize_dataset_format(
+        str(tmp_path), str(save_root), copy_videos=False,
+        translate=lambda s: s.upper())
+    assert counts == {"train": 2, "val": 0, "test": 1}
+
+    tr_names, tr_labels = read_names_labels(str(save_root / "label.npz"), "train")
+    assert tr_names == ["vidA_0", "vidA_1"]
+    assert tr_labels[0]["val"] == 1.5 and tr_labels[0]["emo"] == 0
+
+    csv_names, name2eng = read_key_csv(
+        str(save_root / "transcription.csv"), "english")
+    assert csv_names == ["vidA_0", "vidA_1", "vidB_0"]
+    assert name2eng["vidB_0"] == "mosi"
+    _, name2chi = read_key_csv(str(save_root / "transcription.csv"), "chinese")
+    assert name2chi["vidA_0"] == "HELLO THERE"
