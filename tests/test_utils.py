@@ -182,3 +182,49 @@ def test_cmumosi_preprocess_roundtrip(tmp_path):
     assert name2eng["vidB_0"] == "mosi"
     _, name2chi = read_key_csv(str(save_root / "transcription.csv"), "chinese")
     assert name2chi["vidA_0"] == "HELLO THERE"
+
+
+def test_openface_readers_match_reference(tmp_path):
+    """read_hog/read_csv vs the reference implementations on synthetic
+    OpenFace artifacts (visual/util.py:10-78)."""
+    import importlib.util
+    import struct as st
+
+    from sdumc_tpu.extract.openface import read_csv, read_hog
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_util", "/root/reference/feature_extraction/visual/util.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    # synthetic .hog: 2x2x3 features, 7 frames
+    rng = np.random.default_rng(0)
+    cols, rows, ch, n_frames = 2, 2, 3, 7
+    nf = cols * rows * ch
+    feats = rng.normal(size=(n_frames, nf)).astype(np.float32)
+    valid = (rng.uniform(size=n_frames) > 0.3).astype(np.float32)
+    hog_path = tmp_path / "clip.hog"
+    with open(hog_path, "wb") as f:
+        for i in range(n_frames):
+            f.write(st.pack("3i", cols, rows, ch))
+            f.write(st.pack("f", valid[i]))
+            f.write(feats[i].tobytes())
+
+    ref_valid, ref_feats = ref.read_hog(str(hog_path), batch_size=3)
+    got_valid, got_feats = read_hog(str(hog_path))
+    np.testing.assert_allclose(got_valid, ref_valid)
+    np.testing.assert_allclose(got_feats, ref_feats)
+    np.testing.assert_allclose(got_valid, valid)
+    np.testing.assert_allclose(got_feats, feats, rtol=1e-6)
+
+    # csv reader
+    csv_path = tmp_path / "clip.csv"
+    arr = rng.normal(size=(5, 8))
+    with open(csv_path, "w") as f:
+        f.write(",".join(f"c{i}" for i in range(8)) + "\n")
+        for row in arr:
+            f.write(",".join(f"{x:.6f}" for x in row) + "\n")
+    ref_csv = ref.read_csv(str(csv_path), 3)
+    got_csv = read_csv(str(csv_path), 3)
+    np.testing.assert_allclose(got_csv, ref_csv)
+    assert got_csv.shape == (5, 5)
