@@ -34,8 +34,20 @@ def main(argv=None):
     add_tpu_args(parser)
     parser.add_argument("--resume", type=str, default=None,
                         help="orbax 'latest' checkpoint dir to resume from")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host DP: jax.distributed.initialize "
+                             "(coordinator from SDUMC_* env or pod metadata), "
+                             "per-host BatchIterator shards, global arrays")
     args = parser.parse_args(argv)
     cfg = args_to_config(args)
+
+    shard = (0, 1)
+    if args.multihost:
+        # must run before any other jax backend touch
+        from sdumc_tpu.parallel.multihost import initialize_from_env
+
+        shard = initialize_from_env()
+        print(f"multihost: process {shard[0]}/{shard[1]}")
     print(cfg.to_json())
 
     import jax
@@ -60,7 +72,9 @@ def main(argv=None):
         print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
 
     t0 = time.time()
-    result = train(cfg, model, params, train_ds, eval_ds, test_ds, mesh=mesh, resume_from=args.resume)
+    result = train(cfg, model, params, train_ds, eval_ds, test_ds, mesh=mesh,
+                   resume_from=args.resume, shard=shard,
+                   multihost=args.multihost and shard[1] > 1)
     print(f">>>>> Finish: training duration {time.time() - t0:.1f}s >>>>>")
     print("best_test_full:", result["best_full"])
     print("best_test_missing:", result["best_missing"])

@@ -67,11 +67,12 @@ def extract_audio_features(
         idxs = {i % len(hs) for i in layer_ids if -len(hs) <= i < len(hs)}
         return sum(hs[i] for i in sorted(idxs))
 
-    # Frame-budget batching: WavLM attention (with its [B, H, T, T] gated
-    # position bias) is O(B*T^2) memory, so long buckets get small batches.
-    # TODO(round 2): factored-bias flash-attention kernel (the stock pallas
-    # flash_attention takes a dense `ab` bias, which keeps the O(T^2) HBM
-    # cost) to lift this cap.
+    # Frame-budget batching keeps the einsum path (O(B*T^2) memory for the
+    # [B,H,T,T] gated bias) inside HBM at short lengths. Past
+    # cfg.flash_min_len frames, attention_impl="auto" switches to the
+    # factored-bias flash kernel (ops/pallas/flash_wavlm.py, O(T) HBM) —
+    # long clips no longer need tiny batches, and the reference's
+    # 51-longest-clip deletion stays unnecessary at ANY length.
     frame_budget = batch_size * cfg.output_length(buckets[1])
     order = np.argsort([len(w) for w in wavs], kind="stable")
     results: List = [None] * len(wavs)
@@ -117,14 +118,20 @@ def main(argv=None):
                         choices=["FRAME", "UTTERANCE"])
     parser.add_argument("--layer_ids", type=str, default="-5")
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--attention_impl", type=str, default="auto",
+                        choices=["auto", "einsum", "flash"],
+                        help="flash = factored-bias Pallas kernel, O(T) HBM")
     parser.add_argument("--overwrite", action="store_true", default=True)
     args = parser.parse_args(argv)
 
     layer_ids = tuple(int(x) for x in args.layer_ids.split(","))
+    import dataclasses
+
     from sdumc_tpu.convert.hf_wavlm import load_hf_wavlm
     from sdumc_tpu.models.wavlm import WavLMModel
 
     cfg, params = load_hf_wavlm(args.model_dir)
+    cfg = dataclasses.replace(cfg, attention_impl=args.attention_impl)
     model = WavLMModel(cfg)
 
     audio_files = sorted(glob.glob(os.path.join(args.audio_dir, "*.wav")))

@@ -51,6 +51,13 @@ class WavLMConfig:
     # position bias; the reference's audio extractor supports all three
     # families, extract_transformers_embedding.py:36-57)
     use_rel_pos_bias: bool = True
+    # "einsum" materializes [B,H,T,T] scores+bias; "flash" streams them
+    # through the factored-bias Pallas kernel (O(T) HBM,
+    # ops/pallas/flash_wavlm.py); "auto" = flash on TPU for T >=
+    # flash_min_len (the measured crossover), einsum otherwise.
+    attention_impl: str = "auto"
+    flash_min_len: int = 1024
+    flash_block: int = 128
 
     @staticmethod
     def tiny(**kw) -> "WavLMConfig":
@@ -179,20 +186,37 @@ class WavLMAttention(nn.Module):
             out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, D)
             return nn.Dense(D, name="out_proj")(out), None
 
-        if position_bias is None:
-            assert self.has_relative_position_bias
-            rel_embed = self.param(
+        impl = cfg.attention_impl
+        if impl == "auto":
+            impl = (
+                "flash"
+                if T >= cfg.flash_min_len and jax.default_backend() == "tpu"
+                else "einsum"
+            )
+
+        if self.has_relative_position_bias:
+            rel_embed = jnp.asarray(self.param(
                 "rel_attn_embed", nn.initializers.normal(0.02),
                 (cfg.num_buckets, H),
-            )
+            ))
+        else:
+            rel_embed = None
+
+        if impl == "einsum" and position_bias is None:
+            assert rel_embed is not None
             buckets = relative_position_buckets(
                 T, T, cfg.num_buckets, cfg.max_bucket_distance
             )
             # jnp.take (not fancy indexing): params may arrive as raw numpy
             # from the converter, which can't be indexed by traced arrays.
             position_bias = jnp.transpose(
-                jnp.take(jnp.asarray(rel_embed), buckets, axis=0), (2, 0, 1)
+                jnp.take(rel_embed, buckets, axis=0), (2, 0, 1)
             )  # [H, T, T]
+        elif impl == "flash" and position_bias is None:
+            # flash carries the [num_buckets, H] embedding across layers —
+            # the Toeplitz bias tiles are built inside the kernel wrapper,
+            # never the [H, T, T] tensor
+            position_bias = rel_embed
 
         # --- gru_rel_pos gating of the shared bias
         gru_const = self.param("gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1))
@@ -201,11 +225,27 @@ class WavLMAttention(nn.Module):
         proj = gate_dense(gated).reshape(B, H, T, 2, 4).sum(-1)       # [B,H,T,2]
         gate_a, gate_b = jnp.split(jax.nn.sigmoid(proj), 2, axis=-1)  # [B,H,T,1]
         gate_out = gate_a * (gate_b * gru_const - 1.0) + 2.0          # [B,H,T,1]
-        gated_bias = gate_out * position_bias[None]                    # [B,H,T,T]
 
         q = nn.Dense(D, name="q_proj")(x).reshape(B, T, H, hd)
         k = nn.Dense(D, name="k_proj")(x).reshape(B, T, H, hd)
         v = nn.Dense(D, name="v_proj")(x).reshape(B, T, H, hd)
+
+        if impl == "flash":
+            from sdumc_tpu.ops.pallas.flash_wavlm import flash_gated_attention
+
+            out = flash_gated_attention(
+                q, k, v,
+                gate_out[..., 0],                       # [B, H, T]
+                position_bias,                          # rel_embed carry
+                pad_mask,
+                num_buckets=cfg.num_buckets,
+                max_distance=cfg.max_bucket_distance,
+                block=cfg.flash_block,
+                interpret=jax.default_backend() != "tpu",
+            ).reshape(B, T, D)
+            return nn.Dense(D, name="out_proj")(out), position_bias
+
+        gated_bias = gate_out * position_bias[None]                    # [B,H,T,T]
         scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(hd)
         scores = scores + gated_bias
         if pad_mask is not None:  # [B, S] True = attend

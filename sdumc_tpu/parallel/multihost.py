@@ -1,0 +1,85 @@
+"""Multi-host data parallelism (SURVEY §5 "distributed communication
+backend"; §7 step 6).
+
+The reference has nothing here (DDP commented out, --local_rank unused);
+this is the rebuild's own bar. The TPU design:
+
+* ``jax.distributed.initialize()`` once per process — after it,
+  ``jax.devices()`` is the GLOBAL device list and one jit spans all hosts
+  (collectives ride ICI intra-pod, DCN across pods).
+* Each host reads only its shard of every batch
+  (BatchIterator(shard_index=process_index, shard_count=process_count))
+  and assembles the global sharded array with
+  ``jax.make_array_from_process_local_data`` — no host ever materializes
+  the global batch.
+* The jitted train step is unchanged: grads/metrics are computed over the
+  global batch, XLA inserts the cross-host all-reduce. Metric fetches via
+  ``jax.device_get`` return the same value on every process.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def initialize_from_env(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> tuple:
+    """Call jax.distributed.initialize from args or SDUMC_* env vars.
+
+    Env contract (each process): SDUMC_COORDINATOR=host:port,
+    SDUMC_NUM_PROCESSES, SDUMC_PROCESS_ID. On TPU pods with the standard
+    metadata these are auto-discovered and plain initialize() suffices.
+    Returns (process_index, process_count)."""
+    import jax
+
+    coordinator = coordinator or os.environ.get("SDUMC_COORDINATOR")
+    num_processes = num_processes or _int_env("SDUMC_NUM_PROCESSES")
+    process_id = process_id if process_id is not None else _int_env("SDUMC_PROCESS_ID")
+    if coordinator:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    else:
+        jax.distributed.initialize()  # TPU pod auto-discovery
+    return jax.process_index(), jax.process_count()
+
+
+def _int_env(name: str) -> Optional[int]:
+    v = os.environ.get(name)
+    return int(v) if v is not None else None
+
+
+def host_local_batch_to_global(mesh, batch_dict: dict) -> dict:
+    """Assemble per-host batch shards into global jit-ready arrays.
+
+    ``batch_dict`` holds THIS process's rows (global_batch/process_count of
+    them). Array values get batch-sharded global layouts; scalars and the
+    t_max tuple stay replicated python/weak-type values."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = {}
+    for k, v in batch_dict.items():
+        if k == "t_max":
+            out[k] = v
+            continue
+        arr = np.asarray(v)
+        sharding = NamedSharding(mesh, P("data", *([None] * (arr.ndim - 1))))
+        out[k] = jax.make_array_from_process_local_data(sharding, arr)
+    return out
+
+
+def process_metrics(metrics):
+    """device_get a metrics tree computed under a global mesh; values are
+    identical on every process (the all-reduce happened inside jit)."""
+    import jax
+
+    return jax.device_get(metrics)

@@ -49,26 +49,59 @@ def _pad_partial(batch, bs):
     return padded, n
 
 
-def run_eval(eval_step, params, dataset: MoseiDataset, cfg: ExperimentConfig, mesh=None):
-    """Full eval pass -> dict with preds/labels/metrics for both views."""
+def run_eval(eval_step, params, dataset: MoseiDataset, cfg: ExperimentConfig,
+             mesh=None, shard=(0, 1), multihost=False):
+    """Full eval pass -> dict with preds/labels/metrics for both views.
+
+    Multi-host: each process evaluates only its BatchIterator shard (eval
+    batches stay host-local — replicated params, no cross-host collective
+    needed for a forward), then predictions/labels are all-gathered so every
+    process computes identical metrics."""
     it = BatchIterator(
         dataset,
         cfg.data.batch_size,
         shuffle=False,
         buckets=cfg.data.length_buckets,
+        shard_index=shard[0],
+        shard_count=shard[1],
     )
     preds_full, preds_missing, labels, names = [], [], [], []
     for batch in it:
         padded, n = _pad_partial(batch, cfg.data.batch_size)
-        d = batch_to_device_dict(padded, mesh)
+        d = batch_to_device_dict(padded, mesh if not multihost else None)
         v0, v1 = eval_step(params, d)
         preds_full.append(np.asarray(v0)[:n])
         preds_missing.append(np.asarray(v1)[:n])
         labels.append(batch.vals)
         names.extend(batch.names)
-    preds_full = np.concatenate(preds_full)
-    preds_missing = np.concatenate(preds_missing)
-    labels = np.concatenate(labels)
+    preds_full = np.concatenate(preds_full) if preds_full else np.zeros((0,))
+    preds_missing = (
+        np.concatenate(preds_missing) if preds_missing else np.zeros((0,)))
+    labels = np.concatenate(labels) if labels else np.zeros((0,))
+    if multihost and shard[1] > 1:
+        from jax.experimental import multihost_utils
+
+        # shards can be ragged (dataset % process_count != 0): pad every
+        # process to the same cap and carry the true count through the gather
+        cap = (len(dataset) + shard[1] - 1) // shard[1]
+        n_local = len(labels)
+
+        def pad_to(a):
+            return np.pad(a.astype(np.float32), (0, cap - len(a)))
+
+        gathered = multihost_utils.process_allgather(
+            {"pf": pad_to(preds_full), "pm": pad_to(preds_missing),
+             "lb": pad_to(labels), "n": np.int32(n_local)},
+            tiled=False,
+        )
+        counts = np.asarray(gathered["n"]).reshape(-1)
+        preds_full = np.concatenate(
+            [np.asarray(gathered["pf"])[p][: counts[p]] for p in range(shard[1])])
+        preds_missing = np.concatenate(
+            [np.asarray(gathered["pm"])[p][: counts[p]] for p in range(shard[1])])
+        labels = np.concatenate(
+            [np.asarray(gathered["lb"])[p][: counts[p]] for p in range(shard[1])])
+        names = None  # local names no longer align with gathered rows
     return {
         "val_preds_full": preds_full,
         "val_preds_missing": preds_missing,
@@ -91,7 +124,16 @@ def train(
     mesh=None,
     log=print,
     resume_from: Optional[str] = None,
+    shard=(0, 1),
+    multihost: bool = False,
 ) -> Dict:
+    """``shard=(process_index, process_count)`` + ``multihost=True`` turns
+    the same loop into multi-host DP: each host reads its BatchIterator
+    shard, global arrays are assembled via
+    jax.make_array_from_process_local_data, and the jitted step's grads /
+    metric sums are global (parallel/multihost.py)."""
+    if multihost:
+        from sdumc_tpu.parallel.multihost import host_local_batch_to_global
     steps_per_epoch = max(len(train_ds) // cfg.data.batch_size, 1)
     lr_sched = make_lr_schedule(
         cfg.train.lr, steps_per_epoch, cfg.train.warmup_epochs,
@@ -117,13 +159,31 @@ def train(
         best_missing = blob.get("best_missing", best_missing)
         log(f"resumed from {resume_from} at epoch {start_epoch}")
 
+    # multihost: every host contributes bs/process_count rows per global step.
+    # Hosts must agree on the GLOBAL array shapes each step, so per-batch
+    # bucket choice (content-dependent, host-local) is disabled: every batch
+    # pads to the largest bucket. t_max masking keeps the numerics identical;
+    # only pad compute is wasted (single-host keeps full bucketing).
+    local_bs = cfg.data.batch_size // shard[1] if multihost else cfg.data.batch_size
+    train_buckets = (
+        (max(cfg.data.length_buckets),) if multihost else cfg.data.length_buckets
+    )
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         it = BatchIterator(
-            train_ds, cfg.data.batch_size,
+            train_ds, local_bs,
             shuffle=True, seed=cfg.data.shuffle_seed, epoch=epoch,
-            buckets=cfg.data.length_buckets, drop_remainder=True,
+            buckets=train_buckets, drop_remainder=True,
+            shard_index=shard[0], shard_count=shard[1],
         )
+        if multihost:
+            # every host MUST take the same number of steps (collectives
+            # deadlock otherwise); the bound is computable without
+            # communication from the minimum shard size
+            import itertools
+
+            n_steps = (len(train_ds) // shard[1]) // local_bs
+            it = itertools.islice(iter(it), n_steps)
         # Metrics accumulate as device scalars — no per-step host sync (the
         # reference's .cpu().numpy() per batch, main:156-158, and round-1's
         # float() per step both blocked the dispatch pipeline). One fetch
@@ -131,7 +191,13 @@ def train(
         acc = None
         n_clips = 0
         for batch in it:
-            d = batch_to_device_dict(batch, mesh)
+            if multihost:
+                d = batch_to_device_dict(batch, None)
+                t_max = d.pop("t_max")
+                d = host_local_batch_to_global(mesh, d)
+                d["t_max"] = t_max
+            else:
+                d = batch_to_device_dict(batch, mesh)
             state, metrics = train_step(state, d, rng)
             acc = (
                 metrics if acc is None
@@ -144,8 +210,10 @@ def train(
         train_mse_full = float(acc.get("sq_err_full", 0.0)) / max(cnt, 1)
         train_mse_missing = float(acc.get("sq_err_missing", 0.0)) / max(cnt, 1)
 
-        eval_results = run_eval(eval_step, state.params, eval_ds, cfg, mesh)
-        test_results = run_eval(eval_step, state.params, test_ds, cfg, mesh)
+        eval_results = run_eval(eval_step, state.params, eval_ds, cfg, mesh,
+                                shard=shard, multihost=multihost)
+        test_results = run_eval(eval_step, state.params, test_ds, cfg, mesh,
+                                shard=shard, multihost=multihost)
 
         tr_full = test_results["metric_full"]
         tr_missing = test_results["metric_missing"]
