@@ -43,17 +43,73 @@ def find_token_span(tokenizer, probe: str = "today is a good day") -> Tuple[int,
     raise ValueError("could not locate meaningful token span")
 
 
-def read_transcripts(csv_path: str) -> List[Tuple[str, str]]:
-    """transcription csv: columns name,sentence (reference
-    toolkit/preprocess/cmumosei.py:71-84 writer)."""
+def read_transcripts(csv_path: str, language: str = "english") -> List[Tuple[str, str]]:
+    """transcription csv: name + {sentence|english|chinese} columns
+    (writers: preprocess/cmumosei.py:71-84, preprocess/cmumosi.py; the
+    reference extractor picks the column by --language, :222-228)."""
+    preferred = {"english": ("english", "sentence", "text"),
+                 "chinese": ("chinese", "sentence", "text")}[language]
     rows = []
     with open(csv_path, newline="", encoding="utf-8") as f:
         reader = csv.DictReader(f)
         for row in reader:
             name = row.get("name") or row.get("video_id") or list(row.values())[0]
-            sent = row.get("sentence") or row.get("text") or list(row.values())[-1]
+            sent = next((row[c] for c in preferred if row.get(c)), None)
+            if sent is None:
+                sent = list(row.values())[-1]
             rows.append((str(name), str(sent)))
     return rows
+
+
+def make_runner(model, params, layer_ids: Sequence[int]):
+    """jitted (ids [B,L], lengths [B]) -> layer-summed hidden [B,L,D] for
+    any supported family. Decoders (LlamaModel/BloomModel) get a causal +
+    key-padding mask; bidirectional encoders (BertModel) only the padding
+    mask — batch axis is always 0 here, so the reference's
+    find_batchpos_embdim probe (:118-135) is unnecessary by construction."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdumc_tpu.models.bert import BertModel
+    from sdumc_tpu.models.bloom import BloomModel
+
+    def tap_sum(out):
+        hs = out["hidden_states"]
+        idxs = {i % len(hs) for i in layer_ids if -len(hs) <= i < len(hs)}
+        return sum(hs[i] for i in sorted(idxs))
+
+    if isinstance(model, BertModel):
+        @jax.jit
+        def run(ids, lengths):
+            key_valid = jnp.arange(ids.shape[1])[None, :] < lengths[:, None]
+            return tap_sum(model.apply(
+                {"params": params}, ids, pad_mask=key_valid,
+                output_hidden_states=True))
+        return run
+
+    if isinstance(model, BloomModel):
+        @jax.jit
+        def run(ids, lengths):
+            key_valid = jnp.arange(ids.shape[1])[None, :] < lengths[:, None]
+            return tap_sum(model.apply(
+                {"params": params}, ids, pad_mask=key_valid,
+                output_hidden_states=True))
+        return run
+
+    @jax.jit
+    def run(ids, lengths):
+        B, L = ids.shape
+        positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        key_valid = jnp.arange(L)[None, :] < lengths[:, None]       # [B, L]
+        mask = jnp.where(
+            causal[None] & key_valid[:, None, :], 0.0, -1e30
+        )[:, None]                                                   # [B,1,L,L]
+        out = model.apply({"params": params}, input_ids=ids, positions=positions,
+                          attn_mask=mask, output_hidden_states=True)
+        return tap_sum(out)
+
+    return run
 
 
 def extract_text_features(
@@ -78,37 +134,32 @@ def extract_text_features(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     start, end = find_token_span(tokenizer)
-
-    @jax.jit
-    def run(ids, lengths):
-        B, L = ids.shape
-        positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
-        causal = jnp.tril(jnp.ones((L, L), bool))
-        key_valid = jnp.arange(L)[None, :] < lengths[:, None]       # [B, L]
-        mask = jnp.where(
-            causal[None] & key_valid[:, None, :], 0.0, -1e30
-        )[:, None]                                                   # [B,1,L,L]
-        out = model.apply({"params": params}, input_ids=ids, positions=positions,
-                          attn_mask=mask, output_hidden_states=True)
-        hs = out["hidden_states"]
-        idxs = {i % len(hs) for i in layer_ids if -len(hs) <= i < len(hs)}
-        return sum(hs[i] for i in sorted(idxs))
+    run = make_runner(model, params, layer_ids)
 
     def put(x):
         if mesh is None:
             return jnp.asarray(x)
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    all_ids = [tokenizer(s)["input_ids"] for s in sentences]
-    # group row indices by bucket (overlong rows get their own exact-length
-    # program — rare, and still batched if several share a length)
+    dim = getattr(model.cfg, "hidden_size", 0)
+    results: List[Optional[np.ndarray]] = [None] * len(sentences)
+    all_ids = []
     by_bucket = {}
-    for row, ids in enumerate(all_ids):
+    for row, s in enumerate(sentences):
+        # empty/NaN transcript -> zeros placeholder (reference :245,258-276)
+        if s is None or (isinstance(s, float) and np.isnan(s)) or not str(s).strip():
+            results[row] = (np.zeros((1, dim), np.float32)
+                            if feature_level == "FRAME"
+                            else np.zeros((dim,), np.float32))
+            all_ids.append([])
+            continue
+        ids = tokenizer(str(s))["input_ids"]
+        all_ids.append(ids)
         n = len(ids)
+        # overlong rows get their own exact-length program — rare, and
+        # still batched if several share a length
         bucket = next((b for b in buckets if n <= b), n)
         by_bucket.setdefault(bucket, []).append(row)
-
-    results: List[Optional[np.ndarray]] = [None] * len(sentences)
     for bucket in sorted(by_bucket):
         rows = by_bucket[bucket]
         for ofs in range(0, len(rows), batch_size):
@@ -137,6 +188,12 @@ def main(argv=None):
                         help="transcription csv (name,sentence)")
     parser.add_argument("--save_dir", type=str, required=True)
     parser.add_argument("--model_name", type=str, default="vicuna-7b-v1.5")
+    parser.add_argument("--family", type=str, default="llama",
+                        choices=["llama", "bert", "bloom"],
+                        help="llama covers vicuna/llama2/alpaca; bert covers "
+                             "bert/roberta/macbert/simbert")
+    parser.add_argument("--language", type=str, default="english",
+                        choices=["english", "chinese"])
     parser.add_argument("--feature_level", type=str, default="FRAME")
     parser.add_argument("--layer_ids", type=str, default="-4,-3,-2,-1")
     parser.add_argument("--batch_size", type=int, default=16)
@@ -147,17 +204,32 @@ def main(argv=None):
 
     import transformers
 
-    from sdumc_tpu.convert.hf_llama import load_hf_llama
-    from sdumc_tpu.models.llama import LlamaModel
-
     layer_ids = tuple(int(x) for x in args.layer_ids.split(","))
-    cfg, params = load_hf_llama(args.model_dir)
-    model = LlamaModel(cfg)
+    if args.family == "bert":
+        from sdumc_tpu.convert.hf_bert import load_hf_bert
+        from sdumc_tpu.models.bert import BertModel
+
+        cfg, model_params = load_hf_bert(args.model_dir)
+        model = BertModel(cfg)
+        params = {"model": model_params}
+    elif args.family == "bloom":
+        from sdumc_tpu.convert.hf_bloom import load_hf_bloom
+        from sdumc_tpu.models.bloom import BloomModel
+
+        cfg, model_params = load_hf_bloom(args.model_dir)
+        model = BloomModel(cfg)
+        params = {"model": model_params}
+    else:
+        from sdumc_tpu.convert.hf_llama import load_hf_llama
+        from sdumc_tpu.models.llama import LlamaModel
+
+        cfg, params = load_hf_llama(args.model_dir)
+        model = LlamaModel(cfg)
+        model_params = params["model"]
     tokenizer = transformers.AutoTokenizer.from_pretrained(args.model_dir)
 
     mesh = None
-    model_params = params["model"]
-    if args.tp > 1:
+    if args.tp > 1 and args.family == "llama":
         from sdumc_tpu.parallel import make_mesh
         from sdumc_tpu.parallel.sharding import (
             llama_specs, shard_params, tp_sharding_summary)
@@ -167,7 +239,7 @@ def main(argv=None):
         model_params = shard_params(model_params, mesh, specs)
         print(tp_sharding_summary(model_params, specs))
 
-    rows = read_transcripts(args.trans_path)
+    rows = read_transcripts(args.trans_path, language=args.language)
     os.makedirs(args.save_dir, exist_ok=True)
     t0 = time.time()
     feats = extract_text_features(

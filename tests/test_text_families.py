@@ -1,0 +1,157 @@
+"""Non-LLaMA text-encoder family parity vs HF transformers on tiny random
+configs (extract_text_embedding_huggingface.py:139-282 drives bert/roberta/
+bloom through the same hidden-state path as the LLMs)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from sdumc_tpu.convert.hf_bert import config_from_hf as bert_cfg_from_hf
+from sdumc_tpu.convert.hf_bert import hf_bert_to_params
+from sdumc_tpu.convert.hf_bloom import config_from_hf as bloom_cfg_from_hf
+from sdumc_tpu.convert.hf_bloom import hf_bloom_to_params
+from sdumc_tpu.models.bert import BertModel
+from sdumc_tpu.models.bloom import BloomModel
+
+
+def _assert_hidden_parity(got, ref_hidden, layer_ids=(-4, -3, -2, -1),
+                          rtol=1e-4, atol=1e-5):
+    hs = got["hidden_states"]
+    for i in range(len(hs)):
+        np.testing.assert_allclose(
+            np.asarray(hs[i]), ref_hidden[i].numpy(), rtol=rtol, atol=atol,
+            err_msg=f"hidden state {i}",
+        )
+
+
+def test_bert_parity():
+    from transformers import BertConfig as HFCfg
+    from transformers import BertModel as HFModel
+
+    hf_cfg = HFCfg(
+        vocab_size=99, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = HFModel(hf_cfg, add_pooling_layer=False).eval()
+    cfg = bert_cfg_from_hf(hf_cfg)
+    assert cfg.position_offset == 0
+    params = hf_bert_to_params(hf.state_dict())
+    model = BertModel(cfg)
+
+    ids = np.array([[2, 7, 8, 9, 3, 0, 0], [2, 11, 12, 3, 0, 0, 0]])
+    mask = ids != 0
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask.astype(np.int64)),
+                 output_hidden_states=True)
+    got = model.apply({"params": params}, jnp.asarray(ids),
+                      pad_mask=jnp.asarray(mask), output_hidden_states=True)
+    # compare only valid rows: HF attends pad queries too but downstream
+    # slices the meaningful span
+    m = mask[:, :, None]
+    for i, ref_h in enumerate(ref.hidden_states):
+        np.testing.assert_allclose(
+            np.where(m, np.asarray(got["hidden_states"][i]), 0.0),
+            np.where(m, ref_h.numpy(), 0.0), rtol=1e-4, atol=1e-5,
+            err_msg=f"hidden {i}",
+        )
+
+
+def test_roberta_parity_with_position_offset():
+    from transformers import RobertaConfig as HFCfg
+    from transformers import RobertaModel as HFModel
+
+    hf_cfg = HFCfg(
+        vocab_size=99, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=66, pad_token_id=1,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    hf = HFModel(hf_cfg, add_pooling_layer=False).eval()
+    cfg = bert_cfg_from_hf(hf_cfg)
+    assert cfg.position_offset == 2
+    params = hf_bert_to_params(hf.state_dict())
+    model = BertModel(cfg)
+
+    ids = np.array([[0, 7, 8, 9, 2]])  # no padding: offsets line up exactly
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids), output_hidden_states=True)
+    got = model.apply({"params": params}, jnp.asarray(ids),
+                      output_hidden_states=True)
+    _assert_hidden_parity(got, ref.hidden_states)
+
+
+def test_bloom_parity():
+    from transformers import BloomConfig as HFCfg
+    from transformers import BloomModel as HFModel
+
+    hf_cfg = HFCfg(
+        vocab_size=96, hidden_size=32, n_layer=2, n_head=4,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(2)
+    hf = HFModel(hf_cfg).eval()
+    cfg = bloom_cfg_from_hf(hf_cfg)
+    params = hf_bloom_to_params(hf.state_dict())
+    model = BloomModel(cfg)
+
+    ids = np.array([[5, 7, 8, 9, 11, 13], [6, 7, 9, 2, 2, 2]])
+    mask = np.array([[1, 1, 1, 1, 1, 1], [1, 1, 1, 0, 0, 0]], bool)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask.astype(np.int64)),
+                 output_hidden_states=True)
+    got = model.apply({"params": params}, jnp.asarray(ids),
+                      pad_mask=jnp.asarray(mask), output_hidden_states=True)
+    m = mask[:, :, None]
+    for i, ref_h in enumerate(ref.hidden_states):
+        np.testing.assert_allclose(
+            np.where(m, np.asarray(got["hidden_states"][i]), 0.0),
+            np.where(m, ref_h.numpy(), 0.0), rtol=1e-4, atol=1e-5,
+            err_msg=f"hidden {i}",
+        )
+
+
+def test_alibi_slopes_non_power_of_two():
+    from sdumc_tpu.models.bloom import alibi_slopes
+
+    s = np.asarray(alibi_slopes(6))
+    assert s.shape == (6,)
+    assert np.all(s[1:4] < s[0:3])  # decreasing within the base group
+
+
+def test_bert_batched_extraction_and_empty_sentences():
+    """extract_text_features drives bidirectional encoders through the same
+    bucketed batching; empty transcripts yield the reference's zeros
+    placeholder (extract_text_embedding_huggingface.py:245,258-276)."""
+    from sdumc_tpu.extract.text import extract_text_features
+    from sdumc_tpu.models.bert import BertConfig, BertModel
+    from tests.test_extract import InvertibleTok
+
+    cfg = BertConfig.tiny(vocab_size=120)
+    model = BertModel(cfg)
+    tok = InvertibleTok()
+    sentences = ["a b c", "", "d e f g h i j", "k", None]
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray([[1, 2, 3]]))["params"]
+
+    got = extract_text_features(
+        model, params, tok, sentences,
+        layer_ids=(-2, -1), buckets=(4, 8), batch_size=2,
+    )
+
+    assert got[1].shape == (1, cfg.hidden_size) and not got[1].any()
+    assert got[4].shape == (1, cfg.hidden_size) and not got[4].any()
+    for idx in (0, 2, 3):
+        ids = tok(sentences[idx])["input_ids"]
+        out = model.apply({"params": params}, jnp.asarray([ids]),
+                          output_hidden_states=True)
+        hs = out["hidden_states"]
+        ref = (np.asarray(hs[-2]) + np.asarray(hs[-1]))[0, 1:]
+        np.testing.assert_allclose(got[idx], ref, rtol=2e-5, atol=2e-5)
