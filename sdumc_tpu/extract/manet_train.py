@@ -48,10 +48,15 @@ def make_train_step(model, beta: float, lr_schedule, momentum=0.9, wd=1e-4):
     )
 
     def create_state(variables):
-        return TrainState.create(
+        state = TrainState.create(
             apply_fn=model.apply, params=variables["params"], tx=tx,
             batch_stats=variables.get("batch_stats", {}),
         )
+        # pin the python-int step to int32 — otherwise the first update
+        # changes its aval and jit recompiles the whole step (train/state.py)
+        import jax.numpy as jnp
+
+        return state.replace(step=jnp.asarray(0, jnp.int32))
 
     @jax.jit
     def step(state, images, labels):

@@ -266,7 +266,10 @@ class SDUMCFusion(nn.Module):
         if self.is_initializing():
             Linear(cfg.output_dim, name="fc_out_e")(cross_fused_feat)
             Linear(cfg.output_dim, name="fc_out_ev")(vals_out)
-            self.param("prelu_weight", lambda k, s: jnp.full(s, 0.25), (6,))
+            # explicit dtype: a weak-typed init here changes its aval after
+            # the first optimizer step and silently retraces the train step
+            self.param("prelu_weight",
+                       lambda k, s: jnp.full(s, 0.25, jnp.float32), (6,))
             nn.LayerNorm(name="layer_normali")(audio_hidden)  # :260, unused
 
         # Key names follow the reference *loss-side* unpacking

@@ -27,8 +27,24 @@ def make_optimizer(lr_schedule: Callable, l2: float = 1e-5) -> optax.GradientTra
 
 
 def create_train_state(model, params, lr_schedule, l2: float = 1e-5) -> TrainState:
-    return TrainState.create(
+    state = TrainState.create(
         apply_fn=model.apply,
         params=params,
         tx=make_optimizer(lr_schedule, l2),
     )
+    # Avals must be stable across steps or jit silently recompiles the
+    # whole train step (~20s on CPU) once per promotion: flax's python-int
+    # step becomes a traced int32, and any weak-typed param/opt leaf (e.g.
+    # a scalar-init param) becomes strong after the first update. Pin
+    # everything up front: one compile total.
+    import jax
+    import jax.numpy as jnp
+
+    def pin(x):
+        if isinstance(x, (int, float)):
+            return jnp.asarray(x)
+        if hasattr(x, "dtype"):
+            return jax.lax.convert_element_type(x, x.dtype)  # drops weak_type
+        return x
+
+    return jax.tree_util.tree_map(pin, state.replace(step=jnp.asarray(0, jnp.int32)))

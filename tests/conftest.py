@@ -14,6 +14,9 @@ import os
 # var here is too late; jax.config still works because backends initialize
 # lazily. XLA_FLAGS must land before the first CPU client is created.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent XLA compile cache: repeat suite runs skip recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdumc_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

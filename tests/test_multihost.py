@@ -64,7 +64,7 @@ def test_two_process_full_loop_matches_single_process():
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         smoke.run_full_loop(
-            make_mesh(data_parallel=8, model_parallel=1),
+            make_mesh(data_parallel=4, model_parallel=1),
             argparse.Namespace(pid=0, nproc=1),
         )
     ref = _parse(buf.getvalue())
@@ -72,7 +72,7 @@ def test_two_process_full_loop_matches_single_process():
     procs = [
         subprocess.Popen(
             [sys.executable, str(SCRIPT), "--nproc", "2", "--pid", str(pid),
-             "--coordinator", f"127.0.0.1:{port}", "--local_devices", "4",
+             "--coordinator", f"127.0.0.1:{port}", "--local_devices", "2",
              "--mode", "loop"],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=_env(),
@@ -81,7 +81,7 @@ def test_two_process_full_loop_matches_single_process():
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=300)
+        out, err = p.communicate(timeout=600)
         assert p.returncode == 0, err[-2000:]
         outs.append(out)
 

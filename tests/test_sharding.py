@@ -20,7 +20,7 @@ DIMS = (16, 32, 16)
 
 
 def _setup(B=16, T=8):
-    cfg = ModelConfig(input_dims=DIMS)
+    cfg = ModelConfig(input_dims=DIMS, general_dim=32, layers=(32, 16), fused_layers=(32, 32))
     model = SDUMCFusion(cfg)
     rng = np.random.default_rng(0)
     batch_np = {

@@ -155,3 +155,43 @@ def test_bert_batched_extraction_and_empty_sentences():
         hs = out["hidden_states"]
         ref = (np.asarray(hs[-2]) + np.asarray(hs[-1]))[0, 1:]
         np.testing.assert_allclose(got[idx], ref, rtol=2e-5, atol=2e-5)
+
+
+def test_albert_parity():
+    from transformers import AlbertConfig as HFCfg
+    from transformers import AlbertModel as HFModel
+
+    from sdumc_tpu.convert.hf_albert import config_from_hf, hf_albert_to_params
+    from sdumc_tpu.models.albert import AlbertModel
+
+    hf_cfg = HFCfg(
+        vocab_size=99, embedding_size=16, hidden_size=32,
+        num_hidden_layers=3, num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, attn_implementation="eager",
+    )
+    torch.manual_seed(3)
+    hf = HFModel(hf_cfg, add_pooling_layer=False).eval()
+    cfg = config_from_hf(hf_cfg)
+    params = hf_albert_to_params(hf.state_dict())
+    model = AlbertModel(cfg)
+
+    ids = np.array([[2, 7, 8, 9, 3], [2, 11, 12, 3, 0]])
+    mask = ids != 0
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask.astype(np.int64)),
+                 output_hidden_states=True)
+    got = model.apply({"params": params}, jnp.asarray(ids),
+                      pad_mask=jnp.asarray(mask), output_hidden_states=True)
+    m = mask[:, :, None]
+    for i, ref_h in enumerate(ref.hidden_states):
+        np.testing.assert_allclose(
+            np.where(m, np.asarray(got["hidden_states"][i]), 0.0),
+            np.where(m, ref_h.numpy(), 0.0), rtol=1e-4, atol=1e-5,
+            err_msg=f"hidden {i}",
+        )
+    # shared params: exactly one layer's worth regardless of depth
+    import jax as _jax
+
+    layer_leaves = _jax.tree_util.tree_leaves(params["layer"])
+    assert len(layer_leaves) == 16

@@ -127,7 +127,7 @@ def test_adam_step_parity_with_torch(paired_models, ref_losses):
 
 def test_training_decreases_loss():
     """Smoke: 30 steps on a learnable synthetic task shrink the loss."""
-    cfg = ModelConfig(input_dims=(16, 32, 16))
+    cfg = ModelConfig(input_dims=(16, 32, 16), general_dim=32, layers=(32, 16), fused_layers=(32, 32))
     model = SDUMCFusion(cfg)
     rng = np.random.default_rng(0)
     B, T = 16, 8
@@ -140,7 +140,7 @@ def test_training_decreases_loss():
     template = model.init(
         jax.random.PRNGKey(1), jnp.array(a), jnp.array(t), jnp.array(v)
     )["params"]
-    state = create_train_state(model, template, lambda s: 3e-4, l2=1e-5)
+    state = create_train_state(model, template, lambda s: 3e-3, l2=1e-5)
     step = make_train_step(model, LossConfig())
     batch = {
         "audio": jnp.array(a), "text": jnp.array(t), "video": jnp.array(v),
@@ -149,7 +149,7 @@ def test_training_decreases_loss():
     }
     key = jax.random.PRNGKey(0)
     first = None
-    for i in range(30):
+    for i in range(40):
         state, metrics = step(state, dict(batch), key)
         if first is None:
             first = float(metrics["mse_full"])
@@ -158,7 +158,7 @@ def test_training_decreases_loss():
 
 
 def test_eval_step_runs():
-    cfg = ModelConfig(input_dims=(8, 16, 8))
+    cfg = ModelConfig(input_dims=(8, 16, 8), general_dim=32, layers=(32, 16), fused_layers=(32, 32))
     model = SDUMCFusion(cfg)
     params = model.init(
         jax.random.PRNGKey(0),
@@ -191,7 +191,7 @@ def test_resume_roundtrip(tmp_path):
 
     cfg = ExperimentConfig(
         data=DataConfig(batch_size=8, length_buckets=(16,)),
-        model=ModelConfig(input_dims=(16, 32, 16)),
+        model=ModelConfig(input_dims=(16, 32, 16), general_dim=32, layers=(32, 16), fused_layers=(32, 32)),
         train=TrainConfig(epochs=2, lr=1e-3, checkpoint_dir=str(tmp_path / "ck")),
     )
     model = SDUMCFusion(cfg.model)
