@@ -70,24 +70,18 @@ def make_runner(model, params, layer_ids: Sequence[int]):
     import jax
     import jax.numpy as jnp
 
+    from sdumc_tpu.models.albert import AlbertModel
     from sdumc_tpu.models.bert import BertModel
     from sdumc_tpu.models.bloom import BloomModel
+    from sdumc_tpu.models.deberta import DebertaModel
 
     def tap_sum(out):
         hs = out["hidden_states"]
         idxs = {i % len(hs) for i in layer_ids if -len(hs) <= i < len(hs)}
         return sum(hs[i] for i in sorted(idxs))
 
-    if isinstance(model, BertModel):
-        @jax.jit
-        def run(ids, lengths):
-            key_valid = jnp.arange(ids.shape[1])[None, :] < lengths[:, None]
-            return tap_sum(model.apply(
-                {"params": params}, ids, pad_mask=key_valid,
-                output_hidden_states=True))
-        return run
-
-    if isinstance(model, BloomModel):
+    if isinstance(model, (BertModel, AlbertModel, DebertaModel, BloomModel)):
+        # pad_mask-driven families (BLOOM builds its own causal structure)
         @jax.jit
         def run(ids, lengths):
             key_valid = jnp.arange(ids.shape[1])[None, :] < lengths[:, None]
@@ -189,7 +183,7 @@ def main(argv=None):
     parser.add_argument("--save_dir", type=str, required=True)
     parser.add_argument("--model_name", type=str, default="vicuna-7b-v1.5")
     parser.add_argument("--family", type=str, default="llama",
-                        choices=["llama", "bert", "bloom"],
+                        choices=["llama", "bert", "albert", "deberta", "bloom"],
                         help="llama covers vicuna/llama2/alpaca; bert covers "
                              "bert/roberta/macbert/simbert")
     parser.add_argument("--language", type=str, default="english",
@@ -211,6 +205,20 @@ def main(argv=None):
 
         cfg, model_params = load_hf_bert(args.model_dir)
         model = BertModel(cfg)
+        params = {"model": model_params}
+    elif args.family == "albert":
+        from sdumc_tpu.convert.hf_albert import load_hf_albert
+        from sdumc_tpu.models.albert import AlbertModel
+
+        cfg, model_params = load_hf_albert(args.model_dir)
+        model = AlbertModel(cfg)
+        params = {"model": model_params}
+    elif args.family == "deberta":
+        from sdumc_tpu.convert.hf_deberta import load_hf_deberta
+        from sdumc_tpu.models.deberta import DebertaModel
+
+        cfg, model_params = load_hf_deberta(args.model_dir)
+        model = DebertaModel(cfg)
         params = {"model": model_params}
     elif args.family == "bloom":
         from sdumc_tpu.convert.hf_bloom import load_hf_bloom

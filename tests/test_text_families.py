@@ -195,3 +195,48 @@ def test_albert_parity():
 
     layer_leaves = _jax.tree_util.tree_leaves(params["layer"])
     assert len(layer_leaves) == 16
+
+
+@pytest.mark.parametrize("biased_input,type_vocab", [(False, 0), (True, 2)])
+def test_deberta_parity(biased_input, type_vocab):
+    """Disentangled attention (c2c + c2p + p2c with the shared rel-pos
+    table) vs HF DebertaModel — both the released layout
+    (position_biased_input=False) and the biased-input variant."""
+    from transformers import DebertaConfig as HFCfg
+    from transformers import DebertaModel as HFModel
+
+    from sdumc_tpu.convert.hf_deberta import config_from_hf, hf_deberta_to_params
+    from sdumc_tpu.models.deberta import DebertaModel
+
+    hf_cfg = HFCfg(
+        vocab_size=99, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=32, relative_attention=True,
+        max_relative_positions=8, position_biased_input=biased_input,
+        pos_att_type=["c2p", "p2c"],
+        type_vocab_size=type_vocab, attn_implementation="eager",
+    )
+    torch.manual_seed(4)
+    hf = HFModel(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.max_relative_positions == 8
+    assert cfg.pos_att_type == ("c2p", "p2c")
+    params = hf_deberta_to_params(hf.state_dict())
+    model = DebertaModel(cfg)
+
+    ids = np.array([[2, 7, 8, 9, 3, 14, 15, 16, 17, 18, 19, 20],
+                    [2, 11, 12, 3, 0, 0, 0, 0, 0, 0, 0, 0]])
+    mask = ids != 0
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask.astype(np.int64)),
+                 output_hidden_states=True)
+    got = model.apply({"params": params}, jnp.asarray(ids),
+                      pad_mask=jnp.asarray(mask), output_hidden_states=True)
+    m = mask[:, :, None]
+    for i, ref_h in enumerate(ref.hidden_states):
+        np.testing.assert_allclose(
+            np.where(m, np.asarray(got["hidden_states"][i]), 0.0),
+            np.where(m, ref_h.numpy(), 0.0), rtol=2e-4, atol=2e-5,
+            err_msg=f"hidden {i}",
+        )
