@@ -228,3 +228,43 @@ def test_openface_readers_match_reference(tmp_path):
     got_csv = read_csv(str(csv_path), 3)
     np.testing.assert_allclose(got_csv, ref_csv)
     assert got_csv.shape == (5, 5)
+
+
+def test_labelstudio_task_roundtrip(tmp_path):
+    """Task init -> update -> split -> read annotations (reference
+    read_files.py:9-134 surface)."""
+    import json
+
+    from sdumc_tpu.utils.files import (
+        labelstudio_init_tasks, labelstudio_update_key,
+        read_labelstudio_values, split_json_tasks)
+
+    tasks = labelstudio_init_tasks(
+        "sent", ["clip_a", "clip_b"], [["hello", "there"], ["hi"]])
+    assert tasks[0]["data"]["sent0"] == "hello"
+    assert tasks[1]["data"]["sent1"] == ""  # ragged pad
+    # simulate one annotation
+    tasks[0]["annotations"] = [{"result": [
+        {"value": {"choices": ["positive"]}},
+        {"value": {"text": [" great "]}},
+    ]}]
+    path = tmp_path / "tasks.json"
+    path.write_text(json.dumps(tasks))
+
+    labelstudio_update_key(str(path), "val", {"clip_a": "1.5", "clip_b": "-1"})
+    data = json.loads(path.read_text())
+    assert data[0]["data"]["val"] == "1.5"
+
+    got = read_labelstudio_values(str(path))
+    assert got["clip_a"] == ["positive", "great"]
+    assert got["clip_b"] == []
+
+    paths = split_json_tasks(str(path), str(tmp_path / "splits"), split_num=3)
+    total = sum(len(json.loads(open(p).read())) for p in paths)
+    assert total == 2 and len(paths) == 3
+
+    # uuid-prefixed filename normalization
+    pref = [{"data": {"video": "x/def5d5b7-clip_c.webm"}, "annotations": []}]
+    p2 = tmp_path / "pref.json"
+    p2.write_text(json.dumps(pref))
+    assert "clip_c" in read_labelstudio_values(str(p2))
