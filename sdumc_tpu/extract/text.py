@@ -6,6 +6,13 @@ special-token span stripped via a tokenizer probe (:90-114), fp16 for LLMs
 (:193-196), multi-GPU via accelerate.dispatch_model (:204-210). The Vicuna
 "-gt" variant taps layer -3 (extract_wavlm_vicuna_hd.py:235-241).
 
+Families: llama (vicuna/llama2/alpaca), bert (bert/roberta/macbert/simbert),
+albert, deberta, bloom — each a from-scratch JAX model + HF converter with
+tiny-config parity tests. chatglm2-6b is intentionally absent: its modeling
+code only ships via trust_remote_code (no HF-native class), so there is no
+offline parity oracle; adding a family = one model module + converter + a
+branch in make_runner/main below.
+
 TPU rebuild: sentences are tokenized up front, grouped into length buckets,
 and run through ONE jitted batched forward per bucket (masks built in-graph
 from the per-row lengths), so a handful of XLA programs cover the dataset
