@@ -27,6 +27,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# persistent XLA compile cache: the dev tunnel compiles remotely (~minutes
+# for the train-step programs); repeat bench runs on this host skip them
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdumc_jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 BATCH_SIZE = 128          # inference recipe batch (shell/..._inference.sh:5)
 N_BATCHES = 8

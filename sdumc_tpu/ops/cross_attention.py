@@ -11,7 +11,7 @@ Semantics (reference ``Cross_Attention``,
 The reference materializes the Q outputs with a python list comprehension of
 per-query multiplies (:91-93); here it is a single batched einsum so XLA maps
 it straight onto the MXU. A fused Pallas kernel covers the long-sequence
-regime (see ops/pallas/fused_attention.py).
+regime (see ops/pallas/fused_cross.py).
 """
 
 from __future__ import annotations
