@@ -268,3 +268,31 @@ def test_labelstudio_task_roundtrip(tmp_path):
     p2 = tmp_path / "pref.json"
     p2.write_text(json.dumps(pref))
     assert "clip_c" in read_labelstudio_values(str(p2))
+
+
+def test_media_helpers(tmp_path):
+    """avi->mp4 + 16k wav split drivers (functions.py:18-31,269-284); with
+    no ffmpeg on PATH the jobs fail gracefully and the checker reports the
+    missing outputs."""
+    import shutil
+
+    from sdumc_tpu.preprocess.media import (
+        avi_to_mp4, find_missing_audio, split_audio_from_video_16k)
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    (vids / "clip_a.avi").write_bytes(b"not a real video")
+    (vids / "clip_b.mp4").write_bytes(b"not a real video")
+
+    has_ffmpeg = shutil.which("ffmpeg") is not None
+    n = avi_to_mp4(str(vids), workers=2, remove_src=False)
+    if not has_ffmpeg:
+        assert n == 0  # graceful failure, nothing deleted
+        assert (vids / "clip_a.avi").exists()
+
+    out = tmp_path / "wavs"
+    split_audio_from_video_16k(str(vids), str(out), workers=2)
+    missing = find_missing_audio(str(vids), str(out))
+    # fake bytes can't decode -> every clip shows up as missing
+    assert set(missing) >= {"clip_a", "clip_b"} - (
+        set() if not has_ffmpeg else set(missing))
