@@ -90,6 +90,10 @@ class ModelConfig:
     layers: Tuple[int, ...] = (256, 128)
     fused_layers: Tuple[int, ...] = (256, 256)
     output_dim: int = 1
+    # baseline families (tfn/lmf, models/baselines.py): reference tuner
+    # grid ranges hidden [32..256] / rank [3..6] (model-tune.yaml:1-12)
+    baseline_hidden_dim: int = 32
+    baseline_rank: int = 4
     # NOTE: the reference CLI parses --dropout=0.5 but never forwards it into
     # the model (toolkit/models/__init__.py:67); the model's own default 0.3
     # is what actually trains. We default to the live value.

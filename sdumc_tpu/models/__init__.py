@@ -1,4 +1,5 @@
 from sdumc_tpu.core.registry import MODELS
+from sdumc_tpu.models.baselines import LMF, TFN  # noqa: F401  (self-register)
 from sdumc_tpu.models.fusion import SDUMCFusion  # noqa: F401  (self-registers)
 
 
