@@ -69,21 +69,33 @@ def test_two_process_full_loop_matches_single_process():
         )
     ref = _parse(buf.getvalue())
 
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(SCRIPT), "--nproc", "2", "--pid", str(pid),
-             "--coordinator", f"127.0.0.1:{port}", "--local_devices", "2",
-             "--mode", "loop"],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=_env(),
-        )
-        for pid in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, err[-2000:]
-        outs.append(out)
+    def launch_pair(port):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(SCRIPT), "--nproc", "2", "--pid", str(pid),
+                 "--coordinator", f"127.0.0.1:{port}", "--local_devices", "2",
+                 "--mode", "loop"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=_env(),
+            )
+            for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            if p.returncode != 0:
+                for q in procs:
+                    q.kill()
+                return None, err[-2000:]
+            outs.append(out)
+        return outs, None
+
+    # one retry on a fresh port: under heavy host load the distributed
+    # coordinator handshake can time out spuriously
+    outs, err = launch_pair(port)
+    if outs is None:
+        outs, err = launch_pair(_free_port())
+    assert outs is not None, err
 
     m0, m1 = _parse(outs[0]), _parse(outs[1])
     assert m0 == m1, (m0, m1)  # all-reduce/gather makes them identical
