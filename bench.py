@@ -62,26 +62,24 @@ def _batches():
     return batches
 
 
-def bench_ours() -> float:
+def bench_ours(feature_dtype: str = "float32") -> float:
+    """feature_dtype='bfloat16' measures the HBM-halving fast path
+    (DataConfig.feature_dtype); 'float32' is the checkpoint-exact default."""
     import jax
     import jax.numpy as jnp
 
     from sdumc_tpu.cli.common import build_model_and_params
     from sdumc_tpu.core.config import ExperimentConfig
-    from sdumc_tpu.train.step import make_eval_step
+    from sdumc_tpu.train.step import batch_to_device_dict, make_eval_step
 
     model, params = build_model_and_params(ExperimentConfig(), DIMS)
     params = jax.device_put(params)
     eval_step = make_eval_step(model)
 
-    device_batches = []
-    for b in _batches():
-        device_batches.append({
-            "audio": jax.device_put(b.audio), "text": jax.device_put(b.text),
-            "video": jax.device_put(b.video), "feat4": jax.device_put(b.feat4),
-            "vals": jax.device_put(b.vals),
-            "t_max": tuple(jnp.int32(t) for t in b.t_max),
-        })
+    device_batches = [
+        jax.device_put(batch_to_device_dict(b, feature_dtype=feature_dtype))
+        for b in _batches()
+    ]
 
     def run_epoch():
         outs = [eval_step(params, d) for d in device_batches]
@@ -215,6 +213,7 @@ def get_baseline() -> dict:
 def main():
     baseline = get_baseline()
     ours = bench_ours()
+    ours_bf16 = bench_ours("bfloat16")
     train_cps = bench_train()
     base = baseline.get("clips_per_sec") or float("nan")
     vs = ours / base if np.isfinite(base) and base > 0 else None
@@ -227,6 +226,7 @@ def main():
                 "value": round(ours, 2),
                 "unit": "clips/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "bf16_features_clips_per_sec": round(ours_bf16, 2),
                 "train_clips_per_sec": round(train_cps, 2),
                 "device": str(jax.devices()[0]),
                 "baseline": baseline.get("device"),

@@ -51,7 +51,7 @@ def run_embedding_eval(model, params, dataset, cfg, mesh=None):
                        buckets=cfg.data.length_buckets)
     for batch in it:
         padded, n = _pad_partial(batch, cfg.data.batch_size)
-        d = batch_to_device_dict(padded, mesh)
+        d = batch_to_device_dict(padded, mesh, feature_dtype=cfg.data.feature_dtype)
         v0, v1, a0, a1 = step(params, d)
         out["val_preds_full"].append(np.asarray(v0)[:n])
         out["val_preds_missing"].append(np.asarray(v1)[:n])

@@ -68,7 +68,8 @@ def run_eval(eval_step, params, dataset: MoseiDataset, cfg: ExperimentConfig,
     preds_full, preds_missing, labels, names = [], [], [], []
     for batch in it:
         padded, n = _pad_partial(batch, cfg.data.batch_size)
-        d = batch_to_device_dict(padded, mesh if not multihost else None)
+        d = batch_to_device_dict(padded, mesh if not multihost else None,
+                                 feature_dtype=cfg.data.feature_dtype)
         v0, v1 = eval_step(params, d)
         preds_full.append(np.asarray(v0)[:n])
         preds_missing.append(np.asarray(v1)[:n])
@@ -192,12 +193,12 @@ def train(
         n_clips = 0
         for batch in it:
             if multihost:
-                d = batch_to_device_dict(batch, None)
+                d = batch_to_device_dict(batch, None, feature_dtype=cfg.data.feature_dtype)
                 t_max = d.pop("t_max")
                 d = host_local_batch_to_global(mesh, d)
                 d["t_max"] = t_max
             else:
-                d = batch_to_device_dict(batch, mesh)
+                d = batch_to_device_dict(batch, mesh, feature_dtype=cfg.data.feature_dtype)
             state, metrics = train_step(state, d, rng)
             acc = (
                 metrics if acc is None

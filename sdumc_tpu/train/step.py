@@ -148,14 +148,18 @@ def make_eval_step(model):
     return eval_step
 
 
-def batch_to_device_dict(batch, mesh=None):
+def batch_to_device_dict(batch, mesh=None, feature_dtype: str = "float32"):
     """Convert a data.collate.Batch into the jit-ready dict; t_max as traced
-    scalars so one compile serves every batch in the same bucket combo."""
+    scalars so one compile serves every batch in the same bucket combo.
+    feature_dtype="bfloat16" halves the h2d transfer and the HBM reads of
+    the big frame tensors (see DataConfig.feature_dtype)."""
+    cast = (lambda x: x) if feature_dtype == "float32" else (
+        lambda x: jnp.asarray(x, jnp.dtype(feature_dtype)))
     d = {
-        "audio": batch.audio,
-        "text": batch.text,
-        "video": batch.video,
-        "feat4": batch.feat4,
+        "audio": cast(batch.audio),
+        "text": cast(batch.text),
+        "video": cast(batch.video),
+        "feat4": cast(batch.feat4),
         "vals": batch.vals,
         "t_max": tuple(jnp.int32(t) for t in batch.t_max),
     }

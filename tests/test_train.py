@@ -222,3 +222,39 @@ def test_resume_roundtrip(tmp_path):
     l2 = jax.tree_util.tree_leaves(resumed["state"].params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_feature_dtype_close_to_f32():
+    """DataConfig.feature_dtype='bfloat16' halves feature HBM traffic; the
+    eval output must stay numerically indistinguishable (first projection
+    accumulates in f32)."""
+    import dataclasses
+
+    from sdumc_tpu.data.collate import Batch
+    from sdumc_tpu.train.step import batch_to_device_dict
+
+    cfg = ModelConfig(input_dims=(8, 16, 8), general_dim=32, layers=(32, 16),
+                      fused_layers=(32, 32))
+    model = SDUMCFusion(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 4, 6
+    batch = Batch(
+        audio=rng.normal(size=(B, T, 8)).astype(np.float32),
+        text=rng.normal(size=(B, T, 16)).astype(np.float32),
+        video=rng.normal(size=(B, T, 8)).astype(np.float32),
+        feat4=rng.normal(size=(B, T, 16)).astype(np.float32),
+        emos=np.zeros(B, np.float32), vals=np.zeros(B, np.float32),
+        lengths=np.full((4, B), T, np.int32), names=[str(i) for i in range(B)],
+        t_max=(T, T, T, T),
+    )
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, 4, 8)), jnp.zeros((2, 4, 16)),
+                        jnp.zeros((2, 4, 8)))["params"]
+    ev = make_eval_step(model)
+    d32 = batch_to_device_dict(batch)
+    d16 = batch_to_device_dict(batch, feature_dtype="bfloat16")
+    assert d16["audio"].dtype == jnp.bfloat16
+    v32, _ = ev(params, d32)
+    v16, _ = ev(params, d16)
+    np.testing.assert_allclose(np.asarray(v16), np.asarray(v32),
+                               rtol=2e-2, atol=2e-3)
