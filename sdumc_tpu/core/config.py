@@ -96,10 +96,29 @@ class ModelConfig:
     layers: Tuple[int, ...] = (256, 128)
     fused_layers: Tuple[int, ...] = (256, 256)
     output_dim: int = 1
-    # baseline families (tfn/lmf, models/baselines.py): reference tuner
-    # grid ranges hidden [32..256] / rank [3..6] (model-tune.yaml:1-12)
+    # baseline families (tfn/lmf/attention/misa/mmim, models/baselines.py;
+    # mfn/graph_mfn/mfm/mctn/mult, models/baselines_seq.py): reference tuner
+    # grid ranges hidden [32..256] / rank [3..6] / mem 128 / window 2
+    # (model-tune.yaml:1-80)
     baseline_hidden_dim: int = 32
     baseline_rank: int = 4
+    baseline_mem_dim: int = 32       # MFN/Graph-MFN gated memory, MFM factors
+    baseline_align_t: int = 32       # in-model temporal alignment length for
+                                     # the align-only families (the reference
+                                     # requires pre-aligned features instead)
+    baseline_layers: int = 2         # MulT transformer depth / MMIM cpc_layers
+    baseline_heads: int = 4          # MulT attention heads
+    baseline_kernel_size: int = 3    # MulT conv1d temporal kernel
+    # per-family auxiliary-loss weights (reference grids model-tune.yaml)
+    misa_sim_w: float = 0.1
+    misa_diff_w: float = 0.1
+    misa_recon_w: float = 0.1
+    mmim_alpha: float = 0.1
+    mmim_beta: float = 0.1
+    mfm_recon_w: float = 0.1
+    mfm_mmd_w: float = 1.0
+    mctn_cycle_w: float = 0.3
+    mctn_teacher_forcing: float = 0.5
     # NOTE: the reference CLI parses --dropout=0.5 but never forwards it into
     # the model (toolkit/models/__init__.py:67); the model's own default 0.3
     # is what actually trains. We default to the live value.

@@ -24,12 +24,37 @@ TUNE_GRIDS: Dict[str, Dict[str, list]] = {
         "text_feat_loss_w": [0.0, 0.1],
         "text_query_feat_loss_w": [0.0, 0.7],
     },
-    # clean extension slots for the stripped baseline families (SURVEY: the
-    # reference yaml carries grids for attention/lmf/misa/mmim/tfn/...)
-    "attention": {"lr": [1e-4, 1e-3], "hidden": [128, 256], "dropout": [0.2, 0.5]},
-    "tfn": {"lr": [1e-4, 1e-3], "rank": [4, 8, 16], "dropout": [0.2, 0.5]},
-    "lmf": {"lr": [1e-4, 1e-3], "rank": [4, 8, 16], "dropout": [0.2, 0.5]},
-    "mult": {"lr": [1e-4, 1e-3], "layers": [4, 6], "heads": [4, 8]},
+    # baseline-family grids mirroring model-tune.yaml:1-80 value-for-value,
+    # keyed by OUR ModelConfig/TrainConfig field names so merge_args_config
+    # can overlay draws directly onto the dataclasses
+    "attention": {"lr": [1e-3, 1e-4], "baseline_hidden_dim": [64, 128, 256],
+                  "dropout": [0.2, 0.3, 0.4, 0.5]},
+    "tfn": {"lr": [1e-3, 1e-4], "baseline_hidden_dim": [64, 128],
+            "dropout": [0.2, 0.3, 0.4, 0.5]},
+    "lmf": {"lr": [1e-3, 1e-4], "baseline_hidden_dim": [32, 64, 128, 256],
+            "baseline_rank": [3, 4, 5, 6], "dropout": [0.2, 0.3, 0.4, 0.5]},
+    "misa": {"lr": [1e-3, 1e-4], "baseline_hidden_dim": [64, 128, 256],
+             "dropout": [0.2, 0.3, 0.4, 0.5],
+             "misa_sim_w": [0.0, 0.1, 0.2], "misa_diff_w": [0.0, 0.1, 0.2],
+             "misa_recon_w": [0.0, 0.1, 0.2]},
+    "mmim": {"lr": [1e-3, 1e-4], "baseline_hidden_dim": [64, 128, 256],
+             "dropout": [0.0, 0.1, 0.2, 0.3], "baseline_layers": [1, 2, 3, 4],
+             "mmim_alpha": [0.0, 0.1, 0.2], "mmim_beta": [0.0, 0.1, 0.2]},
+    "mfn": {"lr": [1e-3, 1e-4], "baseline_hidden_dim": [128, 256],
+            "baseline_mem_dim": [128], "dropout": [0.0, 0.3, 0.5, 0.7]},
+    "graph_mfn": {"lr": [1e-3, 1e-4], "baseline_hidden_dim": [128, 256],
+                  "baseline_mem_dim": [128], "dropout": [0.0, 0.3, 0.5, 0.7]},
+    "mfm": {"lr": [1e-3, 1e-4], "baseline_hidden_dim": [128, 256],
+            "baseline_mem_dim": [128], "dropout": [0.0, 0.3, 0.5, 0.7],
+            "mfm_recon_w": [0.01, 0.1, 0.5, 1.0],
+            "mfm_mmd_w": [10.0, 50.0, 100.0]},
+    "mult": {"lr": [1e-3, 1e-4], "baseline_layers": [2, 4, 6],
+             "baseline_heads": [8], "baseline_hidden_dim": [64, 128, 256],
+             "baseline_kernel_size": [1, 3], "dropout": [0.0, 0.1, 0.2, 0.3]},
+    "mctn": {"lr": [1e-3, 1e-4], "baseline_hidden_dim": [64, 128, 256],
+             "dropout": [0.0, 0.1, 0.2, 0.3],
+             "mctn_teacher_forcing": [0.3, 0.5],
+             "mctn_cycle_w": [0.1, 0.3, 0.5, 0.8, 1.0]},
 }
 
 

@@ -7,11 +7,11 @@ special-token span stripped via a tokenizer probe (:90-114), fp16 for LLMs
 "-gt" variant taps layer -3 (extract_wavlm_vicuna_hd.py:235-241).
 
 Families: llama (vicuna/llama2/alpaca), bert (bert/roberta/macbert/simbert),
-albert, deberta, bloom — each a from-scratch JAX model + HF converter with
-tiny-config parity tests. chatglm2-6b is intentionally absent: its modeling
-code only ships via trust_remote_code (no HF-native class), so there is no
-offline parity oracle; adding a family = one model module + converter + a
-branch in make_runner/main below.
+albert, deberta, bloom, glm (chatglm2-6b / glm-4 lineage; the converter
+accepts both THUDM chatglm2 state dicts and HF-native Glm checkpoints, and
+the parity oracle is HF ``GlmModel`` — the same architecture chatglm2's
+trust_remote_code modeling implements) — each a from-scratch JAX model + HF
+converter with tiny-config parity tests.
 
 TPU rebuild: sentences are tokenized up front, grouped into length buckets,
 and run through ONE jitted batched forward per bucket (masks built in-graph
@@ -81,14 +81,17 @@ def make_runner(model, params, layer_ids: Sequence[int]):
     from sdumc_tpu.models.bert import BertModel
     from sdumc_tpu.models.bloom import BloomModel
     from sdumc_tpu.models.deberta import DebertaModel
+    from sdumc_tpu.models.glm import GlmModel
 
     def tap_sum(out):
         hs = out["hidden_states"]
         idxs = {i % len(hs) for i in layer_ids if -len(hs) <= i < len(hs)}
         return sum(hs[i] for i in sorted(idxs))
 
-    if isinstance(model, (BertModel, AlbertModel, DebertaModel, BloomModel)):
-        # pad_mask-driven families (BLOOM builds its own causal structure)
+    if isinstance(model, (BertModel, AlbertModel, DebertaModel, BloomModel,
+                          GlmModel)):
+        # pad_mask-driven families (BLOOM/GLM build their causal structure
+        # in-graph from the key-padding mask)
         @jax.jit
         def run(ids, lengths):
             key_valid = jnp.arange(ids.shape[1])[None, :] < lengths[:, None]
@@ -190,9 +193,11 @@ def main(argv=None):
     parser.add_argument("--save_dir", type=str, required=True)
     parser.add_argument("--model_name", type=str, default="vicuna-7b-v1.5")
     parser.add_argument("--family", type=str, default="llama",
-                        choices=["llama", "bert", "albert", "deberta", "bloom"],
+                        choices=["llama", "bert", "albert", "deberta",
+                                 "bloom", "glm"],
                         help="llama covers vicuna/llama2/alpaca; bert covers "
-                             "bert/roberta/macbert/simbert")
+                             "bert/roberta/macbert/simbert; glm covers "
+                             "chatglm2-6b/glm-4")
     parser.add_argument("--language", type=str, default="english",
                         choices=["english", "chinese"])
     parser.add_argument("--feature_level", type=str, default="FRAME")
@@ -233,6 +238,13 @@ def main(argv=None):
 
         cfg, model_params = load_hf_bloom(args.model_dir)
         model = BloomModel(cfg)
+        params = {"model": model_params}
+    elif args.family == "glm":
+        from sdumc_tpu.convert.hf_glm import load_hf_glm
+        from sdumc_tpu.models.glm import GlmModel
+
+        cfg, model_params = load_hf_glm(args.model_dir)
+        model = GlmModel(cfg)
         params = {"model": model_params}
     else:
         from sdumc_tpu.convert.hf_llama import load_hf_llama

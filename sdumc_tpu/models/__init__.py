@@ -1,5 +1,8 @@
 from sdumc_tpu.core.registry import MODELS
-from sdumc_tpu.models.baselines import LMF, TFN  # noqa: F401  (self-register)
+from sdumc_tpu.models.baselines import (  # noqa: F401  (self-register)
+    LMF, MISA, MMIM, TFN, AttentionFusion)
+from sdumc_tpu.models.baselines_seq import (  # noqa: F401  (self-register)
+    MCTN, MFM, MFN, MULT, GraphMFN)
 from sdumc_tpu.models.fusion import SDUMCFusion  # noqa: F401  (self-registers)
 
 

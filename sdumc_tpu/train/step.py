@@ -91,6 +91,11 @@ def dual_view_loss(
         * losses.rmse_loss(aux1["text_query_feat"], sg(aux0["text_query_feat"]))
         + loss_cfg.features_w * losses.rmse_loss(aux1["features"], aux0["features"])
         + loss_cfg.rnc_w * rnc
+        # model-specific self-supervised terms (MISA sim/diff/recon, MMIM
+        # CPC bounds, MFM recon/MMD, MCTN cycle translation) ride along as
+        # an optional aux entry; families without one contribute nothing
+        + aux0.get("model_loss", 0.0)
+        + aux1.get("model_loss", 0.0)
     )
     metrics = {
         "loss": loss,

@@ -1,4 +1,5 @@
-"""TFN/LMF baseline families: registry dispatch, dual-view train-step
+"""Baseline fusion families (tfn/lmf/attention/misa/mmim + the aligned
+mfn/graph_mfn/mfm/mctn/mult): registry dispatch, dual-view train-step
 integration, and learnability — the reference names these models but ships
 no code (toolkit/models/__init__.py:7-27 dead imports)."""
 
@@ -27,10 +28,14 @@ def _batch(rng, B=12, T=6):
     }
 
 
-@pytest.mark.parametrize("name", ["tfn", "lmf"])
+@pytest.mark.parametrize(
+    "name", ["tfn", "lmf", "attention", "misa", "mmim",
+             "mfn", "graph_mfn", "mfm", "mctn", "mult"])
 def test_baseline_trains_under_the_dual_view_loop(name):
     cfg = ModelConfig(name=name, input_dims=DIMS, baseline_hidden_dim=8,
-                      baseline_rank=3)
+                      baseline_rank=3, baseline_mem_dim=8,
+                      baseline_align_t=6, baseline_layers=1,
+                      baseline_heads=2)
     model = get_model(cfg)
     rng = np.random.default_rng(0)
     batch = _batch(rng)

@@ -240,3 +240,94 @@ def test_deberta_parity(biased_input, type_vocab):
             np.where(m, ref_h.numpy(), 0.0), rtol=2e-4, atol=2e-5,
             err_msg=f"hidden {i}",
         )
+
+def test_glm_parity():
+    """HF-native GlmModel is the chatglm2/glm-4 architecture (partial
+    interleaved rotary, GQA w/ QKV bias, fused gate_up SwiGLU)."""
+    from transformers import GlmConfig as HFCfg
+    from transformers import GlmModel as HFModel
+
+    from sdumc_tpu.convert.hf_glm import config_from_hf, hf_glm_to_params
+    from sdumc_tpu.models.glm import GlmModel
+
+    hf_cfg = HFCfg(
+        vocab_size=97, hidden_size=48, intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, partial_rotary_factor=0.5, pad_token_id=0,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(3)
+    hf = HFModel(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.rotary_dim == 6
+    params = hf_glm_to_params(hf.state_dict(), cfg)
+    model = GlmModel(cfg)
+
+    ids = np.array([[5, 7, 8, 9, 11, 13], [6, 7, 9, 2, 2, 2]])
+    mask = np.array([[1, 1, 1, 1, 1, 1], [1, 1, 1, 0, 0, 0]], bool)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask.astype(np.int64)),
+                 output_hidden_states=True)
+    got = model.apply({"params": params}, jnp.asarray(ids),
+                      pad_mask=jnp.asarray(mask), output_hidden_states=True)
+    m = mask[:, :, None]
+    for i, ref_h in enumerate(ref.hidden_states):
+        np.testing.assert_allclose(
+            np.where(m, np.asarray(got["hidden_states"][i]), 0.0),
+            np.where(m, ref_h.numpy(), 0.0), rtol=1e-4, atol=1e-5,
+            err_msg=f"hidden {i}",
+        )
+
+
+def test_chatglm2_statedict_mapping():
+    """A THUDM-layout chatglm2 state dict (fused query_key_value /
+    dense_h_to_4h) converts to the same params as the equivalent HF-native
+    layout — verified by building the chatglm2 dict FROM a random HF Glm
+    model and asserting identical outputs."""
+    from transformers import GlmConfig as HFCfg
+    from transformers import GlmModel as HFModel
+
+    from sdumc_tpu.convert.hf_glm import config_from_hf, hf_glm_to_params
+    from sdumc_tpu.models.glm import GlmModel
+
+    hf_cfg = HFCfg(
+        vocab_size=97, hidden_size=48, intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, pad_token_id=0, attn_implementation="eager",
+    )
+    torch.manual_seed(4)
+    hf = HFModel(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    sd = {k: v for k, v in hf.state_dict().items()}
+
+    chatglm = {"transformer.embedding.word_embeddings.weight":
+               sd["embed_tokens.weight"],
+               "transformer.encoder.final_layernorm.weight": sd["norm.weight"],
+               "transformer.output_layer.weight": sd["embed_tokens.weight"]}
+    for i in range(hf_cfg.num_hidden_layers):
+        src = f"layers.{i}."
+        dst = f"transformer.encoder.layers.{i}."
+        for kind in ("weight", "bias"):
+            chatglm[dst + f"self_attention.query_key_value.{kind}"] = (
+                torch.cat([sd[src + f"self_attn.q_proj.{kind}"],
+                           sd[src + f"self_attn.k_proj.{kind}"],
+                           sd[src + f"self_attn.v_proj.{kind}"]], dim=0))
+        chatglm[dst + "self_attention.dense.weight"] = (
+            sd[src + "self_attn.o_proj.weight"])
+        chatglm[dst + "mlp.dense_h_to_4h.weight"] = (
+            sd[src + "mlp.gate_up_proj.weight"])
+        chatglm[dst + "mlp.dense_4h_to_h.weight"] = (
+            sd[src + "mlp.down_proj.weight"])
+        chatglm[dst + "input_layernorm.weight"] = (
+            sd[src + "input_layernorm.weight"])
+        chatglm[dst + "post_attention_layernorm.weight"] = (
+            sd[src + "post_attention_layernorm.weight"])
+
+    p_hf = hf_glm_to_params(sd, cfg)
+    p_cg = hf_glm_to_params(chatglm, cfg)
+    model = GlmModel(cfg)
+    ids = jnp.asarray(np.array([[5, 7, 8, 9, 11]]))
+    out_hf = model.apply({"params": p_hf}, ids)["last_hidden_state"]
+    out_cg = model.apply({"params": p_cg}, ids)["last_hidden_state"]
+    np.testing.assert_array_equal(np.asarray(out_hf), np.asarray(out_cg))
