@@ -231,7 +231,11 @@ class WavLMAttention(nn.Module):
         v = nn.Dense(D, name="v_proj")(x).reshape(B, T, H, hd)
 
         if impl == "flash":
-            from sdumc_tpu.ops.pallas.flash_wavlm import flash_gated_attention
+            # trainable wrapper: identical kernel forward; a chunked-scan
+            # custom_vjp supplies exact O(T)-memory gradients if the encoder
+            # is ever fine-tuned (extraction itself stays frozen inference)
+            from sdumc_tpu.ops.pallas.flash_wavlm import (
+                flash_gated_attention_trainable as flash_gated_attention)
 
             out = flash_gated_attention(
                 q, k, v,

@@ -195,3 +195,129 @@ def flash_gated_attention(
 
     out = jnp.transpose(out, (0, 2, 1, 3))                     # [B, Tp, H, hd]
     return out[:, :T]
+
+
+# --------------------------------------------------------------------------
+# Trainable wrapper: custom_vjp with an O(T*chunk)-memory backward
+# --------------------------------------------------------------------------
+#
+# The Pallas kernel above is forward-only (WavLM *extraction* is frozen
+# inference). Fine-tuning WavLM additionally needs gradients without
+# re-materializing [B, H, T, T]. The backward here is a lax.scan over query
+# chunks — standard flash-attention-2 backward math plus the two extra
+# terms this attention has:
+#
+#   s = (q @ k^T) * scale + gate[b,h,t] * bias[h,t,s]          (+ key mask)
+#   dgate[b,h,t]      = sum_s dS[t,s] * bias[t,s]
+#   d_rel_embed[b', h] = sum over all (b,t,s) with bucket(s-t)==b' of
+#                        dS[t,s] * gate[b,h,t]   (scatter-add per chunk)
+#
+# Each chunk re-derives its softmax rows exactly (full key axis in one
+# [B, H, chunk, T] tile), so gradients are exact, memory is linear in T,
+# and XLA keeps every contraction on the MXU. Pallas buys nothing extra
+# here: the bucket scatter-add dominates layout choices and maps cleanly
+# onto XLA's scatter, not onto Mosaic.
+
+
+def _gathered_bias(rel_embed, qpos, T, num_buckets, max_distance):
+    """bias[H, c, T] for query rows at absolute positions qpos."""
+    rel = jnp.arange(T)[None, :] - qpos[:, None]               # k - q
+    buckets = bucket_from_rel(rel, num_buckets, max_distance)  # [c, T]
+    return jnp.transpose(jnp.take(rel_embed, buckets, axis=0), (2, 0, 1))
+
+
+def _flash_bwd_scan(q, k, v, gate, rel_embed, kvalid, out, dout,
+                    num_buckets, max_distance, chunk):
+    B, T, H, hd = q.shape
+    scale = 1.0 / math.sqrt(hd)
+    Tp = ((T + chunk - 1) // chunk) * chunk
+    padt = [(0, 0), (0, Tp - T)]
+    qp = jnp.pad(q, padt + [(0, 0), (0, 0)]).astype(jnp.float32)
+    outp = jnp.pad(out, padt + [(0, 0), (0, 0)]).astype(jnp.float32)
+    # zero pad rows of dout => pad chunks contribute nothing to dk/dv/d_rel
+    doutp = jnp.pad(dout, padt + [(0, 0), (0, 0)]).astype(jnp.float32)
+    gatep = jnp.pad(gate, [(0, 0), (0, 0), (0, Tp - T)]).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    keymask = jnp.where(kvalid > 0, 0.0, NEG)[:, None, None, :]  # [B,1,1,T]
+
+    n_chunks = Tp // chunk
+    qs = qp.reshape(B, n_chunks, chunk, H, hd).transpose(1, 0, 2, 3, 4)
+    outs = outp.reshape(B, n_chunks, chunk, H, hd).transpose(1, 0, 2, 3, 4)
+    douts = doutp.reshape(B, n_chunks, chunk, H, hd).transpose(1, 0, 2, 3, 4)
+    gates = gatep.reshape(B, H, n_chunks, chunk).transpose(2, 0, 1, 3)
+
+    def step(carry, xs):
+        dk, dv, drel, ci = carry
+        q_c, out_c, dout_c, gate_c = xs                        # [B,c,H,hd] ...
+        qpos = ci * chunk + jnp.arange(chunk)
+        bias_c = _gathered_bias(rel_embed.astype(jnp.float32), qpos, T,
+                                num_buckets, max_distance)      # [H,c,T]
+        s = jnp.einsum("bthd,bshd->bhts", q_c, kf) * scale
+        s = s + gate_c[..., None] * bias_c[None] + keymask
+        p = jax.nn.softmax(s, axis=-1)                          # [B,H,c,T]
+        dP = jnp.einsum("bthd,bshd->bhts", dout_c, vf)
+        Dsum = jnp.einsum("bthd,bthd->bht", dout_c, out_c)      # [B,H,c]
+        dS = p * (dP - Dsum[..., None])
+        dq_c = jnp.einsum("bhts,bshd->bthd", dS, kf) * scale
+        dk = dk + jnp.einsum("bhts,bthd->bshd", dS, q_c) * scale
+        dv = dv + jnp.einsum("bhts,bthd->bshd", p, dout_c)
+        dgate_c = jnp.einsum("bhts,hts->bht", dS, bias_c)
+        dSg = jnp.einsum("bhts,bht->tsh", dS, gate_c)           # [c,T,H]
+        rel = jnp.arange(T)[None, :] - qpos[:, None]
+        buckets = bucket_from_rel(rel, num_buckets, max_distance)
+        drel = drel.at[buckets].add(dSg)
+        return (dk, dv, drel, ci + 1), (dq_c, dgate_c)
+
+    zeros_kv = jnp.zeros((B, T, H, hd), jnp.float32)
+    drel0 = jnp.zeros_like(rel_embed, dtype=jnp.float32)
+    (dk, dv, drel, _), (dqs, dgates) = jax.lax.scan(
+        step, (zeros_kv, zeros_kv, drel0, jnp.int32(0)),
+        (qs, outs, douts, gates))
+    dq = dqs.transpose(1, 0, 2, 3, 4).reshape(B, Tp, H, hd)[:, :T]
+    dgate = dgates.transpose(1, 2, 0, 3).reshape(B, H, Tp)[:, :, :T]
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dgate.astype(gate.dtype), drel.astype(rel_embed.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _flash_trainable(num_buckets, max_distance, block, chunk, interpret,
+                     q, k, v, gate, rel_embed, kvalid):
+    return flash_gated_attention(
+        q, k, v, gate, rel_embed, kvalid,
+        num_buckets=num_buckets, max_distance=max_distance,
+        block=block, interpret=interpret)
+
+
+def _flash_trainable_fwd(num_buckets, max_distance, block, chunk, interpret,
+                         q, k, v, gate, rel_embed, kvalid):
+    out = _flash_trainable(num_buckets, max_distance, block, chunk, interpret,
+                           q, k, v, gate, rel_embed, kvalid)
+    return out, (q, k, v, gate, rel_embed, kvalid, out)
+
+
+def _flash_trainable_bwd(num_buckets, max_distance, block, chunk, interpret,
+                         res, dout):
+    q, k, v, gate, rel_embed, kvalid, out = res
+    dq, dk, dv, dgate, drel = _flash_bwd_scan(
+        q, k, v, gate, rel_embed, kvalid, out, dout,
+        num_buckets, max_distance, chunk)
+    return dq, dk, dv, dgate, drel, jnp.zeros_like(kvalid)
+
+
+_flash_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
+
+
+def flash_gated_attention_trainable(
+    q, k, v, gate, rel_embed, kvalid=None, *,
+    num_buckets, max_distance, block: int = 128, chunk: int = 128,
+    interpret: bool = False,
+):
+    """flash_gated_attention with exact gradients (see module comment).
+    Forward cost is identical to the kernel path; the custom backward only
+    runs under differentiation."""
+    if kvalid is None:
+        kvalid = jnp.ones(q.shape[:2], jnp.float32)
+    return _flash_trainable(num_buckets, max_distance, block, chunk,
+                            interpret, q, k, v, gate,
+                            rel_embed, kvalid.astype(jnp.float32))

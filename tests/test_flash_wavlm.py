@@ -118,3 +118,38 @@ def test_wavlm_model_flash_matches_einsum():
             np.where(mask, np.asarray(ref["hidden_states"][i]), 0.0),
             rtol=3e-5, atol=3e-5,
         )
+
+
+def test_flash_trainable_grads_match_einsum():
+    """flash_gated_attention_trainable: value via the kernel, gradients via
+    the chunked-scan backward — both must match jax.grad of the einsum
+    reference for every input (q/k/v/gate/rel_embed)."""
+    from sdumc_tpu.ops.pallas.flash_wavlm import flash_gated_attention_trainable
+
+    q, k, v, gate, rel_embed, kvalid = _inputs(T=100, seed=3)
+    w = jnp.asarray(
+        np.random.default_rng(4).normal(size=q.shape).astype(np.float32))
+    vmask = (kvalid[:, :, None, None] > 0).astype(np.float32)
+
+    def loss_ref(q, k, v, gate, rel_embed):
+        out = einsum_reference(q, k, v, gate, rel_embed, kvalid)
+        return jnp.sum(out * w * vmask)  # pad query rows are never consumed
+
+    def loss_flash(q, k, v, gate, rel_embed):
+        out = flash_gated_attention_trainable(
+            q, k, v, gate, rel_embed, kvalid,
+            num_buckets=NB, max_distance=MD, block=32, chunk=32,
+            interpret=True)
+        return jnp.sum(out * w * vmask)
+
+    val_ref, grads_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        q, k, v, gate, rel_embed)
+    val_got, grads_got = jax.value_and_grad(loss_flash, argnums=(0, 1, 2, 3, 4))(
+        q, k, v, gate, rel_embed)
+
+    np.testing.assert_allclose(float(val_got), float(val_ref), rtol=2e-5)
+    names = ("dq", "dk", "dv", "dgate", "d_rel_embed")
+    for name, g_got, g_ref in zip(names, grads_got, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), rtol=3e-4, atol=3e-5,
+            err_msg=name)
