@@ -4,6 +4,7 @@
     python -m sdumc_tpu.cli.extract text    --model_dir ... --trans_path ... --save_dir ...
     python -m sdumc_tpu.cli.extract feat4   --llm_dir ... --projector_path ... --wavlm_dir ... --save_dir ...
     python -m sdumc_tpu.cli.extract visual  --checkpoint ... --face_dir ... --save_dir ...
+    python -m sdumc_tpu.cli.extract vision  --model_dir ... --face_dir ... --save_dir ...
     python -m sdumc_tpu.cli.extract pack    --src_dir ... --out_prefix ...
 
 Each stage mirrors a reference extraction script (see extract/ module
@@ -29,6 +30,9 @@ def main(argv=None):
         from sdumc_tpu.extract.llm4wav import main as run
     elif stage == "visual":
         from sdumc_tpu.extract.visual import main as run
+    elif stage == "vision":
+        # CLIP/ImageNet alternative visual encoders (extract/vision_hf.py)
+        from sdumc_tpu.extract.vision_hf import main as run
     elif stage == "manet_train":
         from sdumc_tpu.extract.manet_train import main as run
     elif stage == "pack":

@@ -59,13 +59,22 @@ def extract_audio_features(
     import jax
     import jax.numpy as jnp
 
+    # params ride as a jit argument (closure capture would bake the ~1.2 GB
+    # WavLM-large weights into every bucket's HLO as constants); asarray
+    # leaves already-placed (e.g. TP-sharded) jax.Arrays untouched
+    params = jax.tree_util.tree_map(
+        lambda x: x if isinstance(x, jax.Array) else jnp.asarray(x), params)
+
     @jax.jit
-    def run(batch, frame_mask):
-        out = model.apply({"params": params}, batch, pad_mask=frame_mask,
+    def run_p(p, batch, frame_mask):
+        out = model.apply({"params": p}, batch, pad_mask=frame_mask,
                           output_hidden_states=True)
         hs = out["hidden_states"]
         idxs = {i % len(hs) for i in layer_ids if -len(hs) <= i < len(hs)}
         return sum(hs[i] for i in sorted(idxs))
+
+    def run(batch, frame_mask):
+        return run_p(params, batch, frame_mask)
 
     # Frame-budget batching keeps the einsum path (O(B*T^2) memory for the
     # [B,H,T,T] gated bias) inside HBM at short lengths. Past

@@ -88,20 +88,27 @@ def make_runner(model, params, layer_ids: Sequence[int]):
         idxs = {i % len(hs) for i in layer_ids if -len(hs) <= i < len(hs)}
         return sum(hs[i] for i in sorted(idxs))
 
+    # params are a jit ARGUMENT, not a closure capture: closed-over arrays
+    # are baked into the HLO as constants (multi-GB programs at 7B; remote
+    # compile services reject the payload). jnp.asarray leaves already-
+    # placed (e.g. TP-sharded) jax.Arrays untouched.
+    params = jax.tree_util.tree_map(
+        lambda x: x if isinstance(x, jax.Array) else jnp.asarray(x), params)
+
     if isinstance(model, (BertModel, AlbertModel, DebertaModel, BloomModel,
                           GlmModel)):
         # pad_mask-driven families (BLOOM/GLM build their causal structure
         # in-graph from the key-padding mask)
         @jax.jit
-        def run(ids, lengths):
+        def run_p(p, ids, lengths):
             key_valid = jnp.arange(ids.shape[1])[None, :] < lengths[:, None]
             return tap_sum(model.apply(
-                {"params": params}, ids, pad_mask=key_valid,
+                {"params": p}, ids, pad_mask=key_valid,
                 output_hidden_states=True))
-        return run
+        return lambda ids, lengths: run_p(params, ids, lengths)
 
     @jax.jit
-    def run(ids, lengths):
+    def run_p(p, ids, lengths):
         B, L = ids.shape
         positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
         causal = jnp.tril(jnp.ones((L, L), bool))
@@ -109,11 +116,11 @@ def make_runner(model, params, layer_ids: Sequence[int]):
         mask = jnp.where(
             causal[None] & key_valid[:, None, :], 0.0, -1e30
         )[:, None]                                                   # [B,1,L,L]
-        out = model.apply({"params": params}, input_ids=ids, positions=positions,
+        out = model.apply({"params": p}, input_ids=ids, positions=positions,
                           attn_mask=mask, output_hidden_states=True)
         return tap_sum(out)
 
-    return run
+    return lambda ids, lengths: run_p(params, ids, lengths)
 
 
 def extract_text_features(

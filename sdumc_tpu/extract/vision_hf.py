@@ -120,11 +120,14 @@ def build_clip_runner(model_dir: str):
     cfg, params = load_hf_clip_vision(model_dir)
     model = CLIPVisionTower(cfg)
 
-    @jax.jit
-    def run(pixels):
-        return model.apply({"params": params}, pixels)["image_features"]
+    params = jax.device_put(params)  # jit arg, not HLO constants
 
-    return run, cfg.image_size, CLIP_MEAN, CLIP_STD, cfg.projection_dim
+    @jax.jit
+    def run_p(p, pixels):
+        return model.apply({"params": p}, pixels)["image_features"]
+
+    return (lambda pixels: run_p(params, pixels),
+            cfg.image_size, CLIP_MEAN, CLIP_STD, cfg.projection_dim)
 
 
 def build_resnet_runner(checkpoint: Optional[str] = None):
@@ -149,11 +152,14 @@ def build_resnet_runner(checkpoint: Optional[str] = None):
 
         variables = model.init(jr.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
 
-    @jax.jit
-    def run(pixels):
-        return model.apply(variables, pixels, train=False)
+    variables = jax.device_put(variables)  # jit arg, not HLO constants
 
-    return run, 224, IMAGENET_MEAN, IMAGENET_STD, cfg.channels[-1]
+    @jax.jit
+    def run_p(v, pixels):
+        return model.apply(v, pixels, train=False)
+
+    return (lambda pixels: run_p(variables, pixels),
+            224, IMAGENET_MEAN, IMAGENET_STD, cfg.channels[-1])
 
 
 def main(argv=None):

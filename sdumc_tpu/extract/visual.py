@@ -39,9 +39,14 @@ def extract_video_embeddings(
     import jax
     import jax.numpy as jnp
 
+    variables = jax.device_put(variables)  # jit arg, not HLO constants
+
     @jax.jit
+    def run_p(v, batch):
+        return model.apply(v, batch)
+
     def run(batch):
-        return model.apply(variables, batch)
+        return run_p(variables, batch)
 
     out = []
     n = len(frames)

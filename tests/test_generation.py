@@ -130,3 +130,37 @@ def test_bucketed_prompt_matches_exact_length(setup, seed, bucket):
     np.testing.assert_allclose(
         np.asarray(exact["taps"]), np.asarray(bucketed["taps"]),
         rtol=1e-5, atol=1e-5)
+
+
+def test_batched_generate_matches_solo_runs(setup):
+    """beam_generate_batched (vmap lockstep over clips, extract/llm4wav.py
+    --gen_batch) must give every clip exactly its solo-run tokens/taps even
+    when clips finish at different steps."""
+    from sdumc_tpu.models.generation import beam_generate_batched
+
+    hf, cfg, apply_fn, embed_fn = setup
+    bucket, max_new = 16, 12
+    lens = [6, 9, 11]
+    prompts, padded = [], np.zeros((3, bucket, cfg.hidden_size), np.float32)
+    for i, P in enumerate(lens):
+        p = _prompt(10 + i, P, cfg.hidden_size)
+        prompts.append(p)
+        padded[i, bucket - P:] = p[0]
+
+    batched = beam_generate_batched(
+        apply_fn, jnp.asarray(padded), cfg, embed_fn=embed_fn,
+        prompt_len=jnp.asarray(lens, jnp.int32),
+        num_beams=4, max_new_tokens=max_new, eos_id=2)
+
+    for i, P in enumerate(lens):
+        solo = beam_generate(
+            apply_fn, jnp.asarray(prompts[i]), cfg, embed_fn=embed_fn,
+            num_beams=4, max_new_tokens=max_new, eos_id=2)
+        assert int(batched["n_steps"][i]) == int(solo["n_steps"]), i
+        assert int(batched["n_tokens"][i]) == int(solo["n_tokens"]), i
+        np.testing.assert_array_equal(
+            np.asarray(batched["tokens"][i]), np.asarray(solo["tokens"]), err_msg=f"clip {i}")
+        n = int(solo["n_steps"])
+        np.testing.assert_allclose(
+            np.asarray(batched["taps"][i])[:n], np.asarray(solo["taps"])[:n],
+            rtol=1e-5, atol=1e-5, err_msg=f"clip {i}")
