@@ -134,7 +134,10 @@ def bench_train() -> float:
             state, metrics = step(state, d, rng)
             acc = metrics if acc is None else jax.tree_util.tree_map(
                 jnp.add, acc, metrics)
-        jax.block_until_ready(acc["loss"])
+        # sync via d2h fetch (a scalar): over the dev tunnel,
+        # block_until_ready alone is not a reliable barrier on some
+        # programs — measured equal here, fetch removes the doubt
+        float(jax.device_get(acc["loss"]))
         return state
 
     state = run_epoch(state)  # compile all bucket combos

@@ -54,6 +54,7 @@ def extract_audio_features(
     feature_level: str = "FRAME",
     batch_size: int = 8,
     buckets: Sequence[int] = (40000, 80000, 160000, 320000, 640000),
+    dtype: str = "float32",
 ) -> List[np.ndarray]:
     """Returns one [T_i, D] (or [D] for UTTERANCE) array per input wav."""
     import jax
@@ -61,17 +62,22 @@ def extract_audio_features(
 
     # params ride as a jit argument (closure capture would bake the ~1.2 GB
     # WavLM-large weights into every bucket's HLO as constants); asarray
-    # leaves already-placed (e.g. TP-sharded) jax.Arrays untouched
+    # leaves already-placed (e.g. TP-sharded) jax.Arrays untouched.
+    # dtype="bfloat16" casts params + waves so every matmul runs MXU-native
+    # (the TPU analogue of the reference's fp16-for-LLMs; float32 matches
+    # HF bit-for-bit and stays the default); taps are returned in f32.
+    wd = jnp.dtype(dtype)
     params = jax.tree_util.tree_map(
-        lambda x: x if isinstance(x, jax.Array) else jnp.asarray(x), params)
+        lambda x: (x.astype(wd) if isinstance(x, jax.Array)
+                   else jnp.asarray(x, wd)), params)
 
     @jax.jit
     def run_p(p, batch, frame_mask):
-        out = model.apply({"params": p}, batch, pad_mask=frame_mask,
-                          output_hidden_states=True)
+        out = model.apply({"params": p}, batch.astype(wd),
+                          pad_mask=frame_mask, output_hidden_states=True)
         hs = out["hidden_states"]
         idxs = {i % len(hs) for i in layer_ids if -len(hs) <= i < len(hs)}
-        return sum(hs[i] for i in sorted(idxs))
+        return sum(hs[i].astype(jnp.float32) for i in sorted(idxs))
 
     def run(batch, frame_mask):
         return run_p(params, batch, frame_mask)
@@ -130,6 +136,12 @@ def main(argv=None):
     parser.add_argument("--attention_impl", type=str, default="auto",
                         choices=["auto", "einsum", "flash"],
                         help="flash = factored-bias Pallas kernel, O(T) HBM")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 = MXU-native fast path (the TPU "
+                             "analogue of the reference's fp16-for-LLMs, "
+                             "extract_text_embedding_huggingface.py:193-196); "
+                             "float32 matches HF exactly")
     parser.add_argument("--overwrite", action="store_true", default=True)
     args = parser.parse_args(argv)
 
@@ -156,7 +168,7 @@ def main(argv=None):
     feats = extract_audio_features(
         model, params, cfg, wavs,
         layer_ids=layer_ids, feature_level=args.feature_level,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, dtype=args.dtype,
     )
     for f, feat in zip(audio_files, feats):
         vid = os.path.basename(f).split(".")[0]

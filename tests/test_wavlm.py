@@ -145,3 +145,24 @@ def test_wav2vec2_hubert_parity(family):
         ref = hf(torch.tensor(wav)).last_hidden_state.numpy()
     got = WavLMModel(cfg).apply({"params": params}, jnp.array(wav))["last_hidden_state"]
     np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_extract_audio_features_bf16_close_to_f32():
+    """The --dtype=bfloat16 fast path must track the exact f32 extraction
+    closely (cosine > 0.995 per clip) — it is a throughput option, not a
+    different feature."""
+    from sdumc_tpu.extract.audio import extract_audio_features
+    from sdumc_tpu.models.wavlm import WavLMModel
+
+    _, cfg, params = _build("layer", True)
+    model = WavLMModel(cfg)
+    rng = np.random.default_rng(4)
+    wavs = [rng.normal(size=(n,)).astype(np.float32) for n in (300, 800)]
+    kw = dict(layer_ids=(-2,), batch_size=2, buckets=(400, 800))
+    f32 = extract_audio_features(model, params, cfg, wavs, **kw)
+    bf16 = extract_audio_features(model, params, cfg, wavs, dtype="bfloat16", **kw)
+    for a, b in zip(f32, bf16):
+        assert a.shape == b.shape
+        cos = np.sum(a * b, -1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9)
+        assert float(cos.min()) > 0.995, float(cos.min())
