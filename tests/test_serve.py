@@ -1,0 +1,75 @@
+"""Serving-export roundtrip: the dual-view eval program as StableHLO
+artifacts (sdumc_tpu/serve/export.py) must reproduce the live jitted eval
+after save -> load in a fresh object, including bucket dispatch and
+partial-batch padding."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sdumc_tpu.core.config import ModelConfig
+from sdumc_tpu.models import get_model
+from sdumc_tpu.serve import ServingBundle
+from sdumc_tpu.train.step import make_eval_step
+
+DIMS = (12, 24, 12, 24)
+
+
+def _model_and_params():
+    cfg = ModelConfig(input_dims=DIMS[:3], general_dim=16, layers=(16, 8),
+                      fused_layers=(16, 16))
+    model = get_model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 4, DIMS[0])), jnp.zeros((2, 4, DIMS[1])),
+        jnp.zeros((2, 4, DIMS[2])),
+    )["params"]
+    return model, params
+
+
+def test_serving_bundle_roundtrip(tmp_path):
+    model, params = _model_and_params()
+    B = 4
+    combos = [(8, 8, 8, 8), (16, 8, 8, 8)]
+    bundle = ServingBundle.build(model, params, DIMS, combos, B)
+    bundle.save(str(tmp_path / "bundle"))
+    loaded = ServingBundle.load(str(tmp_path / "bundle"))
+
+    rng = np.random.default_rng(0)
+    Bp = 3  # partial batch
+    batch = {
+        "audio": rng.normal(size=(Bp, 5, DIMS[0])).astype(np.float32),
+        "text": rng.normal(size=(Bp, 7, DIMS[1])).astype(np.float32),
+        "video": rng.normal(size=(Bp, 6, DIMS[2])).astype(np.float32),
+        "feat4": rng.normal(size=(Bp, 4, DIMS[3])).astype(np.float32),
+    }
+    v0, v1 = loaded(batch)
+    assert v0.shape == v1.shape == (Bp,)
+
+    # reference: the live jitted eval on the same padded shapes
+    eval_step = make_eval_step(model)
+    padded = {}
+    for k, tb in zip(("audio", "text", "video", "feat4"), combos[0]):
+        x = batch[k]
+        out = np.zeros((B, tb, x.shape[2]), np.float32)
+        out[:Bp, : x.shape[1]] = x
+        padded[k] = jnp.asarray(out)
+    padded["vals"] = jnp.zeros((B,), jnp.float32)
+    padded["t_max"] = tuple(jnp.int32(batch[k].shape[1])
+                            for k in ("audio", "text", "video", "feat4"))
+    r0, r1 = eval_step(params, padded)
+    np.testing.assert_allclose(v0, np.asarray(r0)[:Bp], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(v1, np.asarray(r1)[:Bp], rtol=1e-6, atol=1e-6)
+
+    # longer audio dispatches to the bigger bucket
+    batch["audio"] = rng.normal(size=(Bp, 12, DIMS[0])).astype(np.float32)
+    v0b, _ = loaded(batch)
+    assert v0b.shape == (Bp,)
+    # too-long input errors clearly
+    batch["audio"] = rng.normal(size=(Bp, 64, DIMS[0])).astype(np.float32)
+    try:
+        loaded(batch)
+        assert False, "expected ValueError for unfittable lengths"
+    except ValueError as e:
+        assert "bucket" in str(e)
