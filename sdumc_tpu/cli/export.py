@@ -24,9 +24,10 @@ def main(argv=None):
     p.add_argument("--combos", type=str,
                    default="64x64x64x64,256x64x256x64,512x64x512x64",
                    help="comma list of audio x text x video x feat4 buckets")
-    p.add_argument("--platforms", type=str, default=None,
-                   help="e.g. 'tpu,cpu' for a cross-platform artifact; "
-                        "default = current backend")
+    p.add_argument("--platforms", type=str, default="tpu,cpu",
+                   help="comma list baked into the artifact (cross-platform "
+                        "lowering works from any host); 'native' = current "
+                        "backend only")
     p.add_argument("--input_dims", type=str, default="1024,4096,1024,4096")
     args = p.parse_args(argv)
 
@@ -37,7 +38,8 @@ def main(argv=None):
     dims = tuple(int(x) for x in args.input_dims.split(","))
     combos = [tuple(int(x) for x in c.split("x"))
               for c in args.combos.split(",")]
-    platforms = args.platforms.split(",") if args.platforms else None
+    platforms = (None if args.platforms == "native"
+                 else args.platforms.split(","))
 
     model, params = build_model_and_params(
         ExperimentConfig(), dims, args.checkpoint)
