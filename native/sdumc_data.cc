@@ -263,6 +263,54 @@ int sdumc_fill_batch(const char* paths, int64_t batch, int64_t bucket,
   return failed.load() ? -1 : 0;
 }
 
-int sdumc_version() { return 1; }
+// Assemble a [batch, bucket, dim] batch from a packed single-file store
+// (data/packed.py layout: one f32 blob + JSON index). Clip b occupies
+// rows[b] x cols[b] floats starting at float offset offs[b]. Same
+// pad-or-mean-pool semantics as the .npy path; thread-pooled independent
+// reads against per-task file handles.
+int sdumc_fill_batch_packed(const char* bin_path, const int64_t* offs,
+                            const int64_t* rows, const int64_t* cols,
+                            int64_t batch, int64_t bucket, int64_t dim,
+                            float* dst, int64_t* lengths) {
+  std::atomic<int> failed{0};
+  std::atomic<int64_t> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  std::string path(bin_path);
+
+  memset(dst, 0, size_t(batch) * bucket * dim * sizeof(float));
+  for (int64_t b = 0; b < batch; ++b) {
+    pool()->submit([&, b] {
+      FILE* f = fopen(path.c_str(), "rb");
+      NpyArray arr;
+      if (f) {
+        arr.rows = rows[b];
+        arr.cols = cols[b];
+        arr.data.resize(size_t(arr.rows) * arr.cols);
+        if (fseek(f, long(offs[b]) * 4, SEEK_SET) == 0 &&
+            fread(arr.data.data(), sizeof(float), arr.data.size(), f) ==
+                arr.data.size()) {
+          arr.ok = true;
+        }
+        fclose(f);
+      }
+      if (!arr.ok || arr.cols > dim) {
+        failed.fetch_add(1);
+      } else {
+        map_into(arr, dst + b * bucket * dim, bucket, dim);
+        lengths[b] = std::min(arr.rows, bucket);
+      }
+      if (done.fetch_add(1) + 1 == batch) {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.notify_all();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == batch; });
+  return failed.load() ? -1 : 0;
+}
+
+int sdumc_version() { return 2; }
 
 }  // extern "C"

@@ -69,3 +69,38 @@ def fill_batch(paths: List[str], bucket: int, dim: int) -> Tuple[np.ndarray, np.
     if rc != 0:
         raise IOError(f"native batch fill failed for one of {len(paths)} files")
     return out, lengths
+
+
+def fill_batch_packed(bin_path: str, entries: List[Tuple[int, int, int]],
+                      bucket: int, dim: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Parallel-read clips from a packed blob (data/packed.py layout) into a
+    zero-padded [B, bucket, dim] batch with the same pad-or-compress
+    semantics as fill_batch. ``entries`` are (float_offset, rows, cols)
+    triples from the PackedSource index."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library not built; run native/build.sh")
+    if not hasattr(lib, "_packed_bound"):
+        lib.sdumc_fill_batch_packed.restype = ctypes.c_int
+        lib.sdumc_fill_batch_packed.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._packed_bound = True
+    b = len(entries)
+    offs = np.ascontiguousarray([e[0] for e in entries], np.int64)
+    rows = np.ascontiguousarray([e[1] for e in entries], np.int64)
+    cols = np.ascontiguousarray([e[2] for e in entries], np.int64)
+    out = np.zeros((b, bucket, dim), np.float32)
+    lengths = np.zeros((b,), np.int64)
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    rc = lib.sdumc_fill_batch_packed(
+        bin_path.encode(), i64p(offs), i64p(rows), i64p(cols),
+        b, bucket, dim,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), i64p(lengths))
+    if rc != 0:
+        raise IOError(f"native packed batch fill failed ({b} clips)")
+    return out, lengths

@@ -49,6 +49,7 @@ class PackedSource:
 
     def __init__(self, prefix: str, name: str = "packed"):
         self.name = name
+        self._prefix = prefix
         with open(prefix + ".json") as f:
             meta = json.load(f)
         self._index = meta["index"]
@@ -67,3 +68,33 @@ class PackedSource:
 
     def __contains__(self, clip: str) -> bool:
         return clip in self._index
+
+
+def fill_batch_from_packed(src: "PackedSource", names, bucket: int,
+                           dim: int | None = None):
+    """[B, bucket, dim] batch straight out of the packed blob — native
+    thread-pooled reads when libsdumc_data is built (sdumc_fill_batch_packed),
+    python mmap gather otherwise. Same pad-or-mean-pool semantics as the
+    .npy path (collate.mapping_feature). Returns (batch, lengths)."""
+    import numpy as np
+
+    dim = dim or src.dim
+    entries = [tuple(src._index[n]) for n in names]
+    try:
+        from sdumc_tpu.data import native
+
+        if native.available():
+            return native.fill_batch_packed(
+                src._prefix + ".bin", entries, bucket, dim)
+    except Exception:
+        pass
+    from sdumc_tpu.data.collate import mapping_feature
+
+    out = np.zeros((len(names), bucket, dim), np.float32)
+    lengths = np.zeros((len(names),), np.int64)
+    for i, n in enumerate(names):
+        feat = mapping_feature(src.get(n), bucket) if len(src.get(n)) > bucket \
+            else src.get(n)
+        out[i, : len(feat), : feat.shape[1]] = feat
+        lengths[i] = len(feat)
+    return out, lengths

@@ -103,3 +103,35 @@ def test_pipeline_native_path_matches_python(tmp_path):
         np.testing.assert_array_equal(nb.lengths, pb.lengths)
         np.testing.assert_array_equal(nb.vals, pb.vals)
         assert nb.names == pb.names
+
+
+def test_fill_batch_packed_matches_npy_path(tmp_path):
+    """Native packed-store batch fill == native .npy-dir batch fill for the
+    same clips (same pad/mean-pool semantics, one file instead of N)."""
+    import numpy as np
+
+    from sdumc_tpu.data import native
+    from sdumc_tpu.data.packed import (
+        PackedSource, fill_batch_from_packed, pack_features)
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    d = tmp_path / "feats"
+    d.mkdir()
+    names = []
+    for i, t in enumerate((4, 9, 23, 1)):  # 23 > bucket -> compress path
+        name = f"clip{i}"
+        np.save(d / f"{name}.npy", rng.normal(size=(t, 6)).astype(np.float32))
+        names.append(name)
+    prefix = pack_features(str(d), str(tmp_path / "pack"))
+    src = PackedSource(prefix)
+
+    bucket = 16
+    ref, ref_len = native.fill_batch(
+        [str(d / f"{n}.npy") for n in names], bucket, 6)
+    got, got_len = fill_batch_from_packed(src, names, bucket, 6)
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(got_len, ref_len)
