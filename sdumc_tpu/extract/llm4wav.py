@@ -41,7 +41,7 @@ class Feat4Extractor:
                  tokenizer, *, num_beams: int = 4, max_new_tokens: int = 200,
                  tap_layers=(-4, -3, -2, -1), prompt: str = DEFAULT_PROMPT,
                  prompt_buckets: Sequence[int] = (64, 128, 256, 512),
-                 gen_batch: int = 1):
+                 gen_batch: int = 1, tp: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -71,7 +71,22 @@ class Feat4Extractor:
         # baked into the HLO as constants — at 7B that is a multi-GB
         # program upload per compiled bucket (remote-compile tunnels reject
         # it outright) instead of device-resident buffers shared by all.
-        self._llama_params = jax.device_put(llama_params)
+        if tp > 1:
+            # Megatron TP over the mesh model axis for the generate graphs —
+            # the dispatch_model parity for the feat4 stage (the reference
+            # shards Vicuna for generate too, extract_wavlm_vicuna.py:
+            # 306-312). GSPMD propagates the param shardings through the
+            # whole while_loop decode, KV caches become head-sharded.
+            from sdumc_tpu.parallel import make_mesh
+            from sdumc_tpu.parallel.sharding import (
+                llama_specs, shard_params, tp_sharding_summary)
+
+            mesh = make_mesh(data_parallel=1, model_parallel=tp)
+            specs = llama_specs(llama_params, mesh)
+            self._llama_params = shard_params(llama_params, mesh, specs)
+            print(tp_sharding_summary(self._llama_params, specs))
+        else:
+            self._llama_params = jax.device_put(llama_params)
         self._projector_params = jax.device_put(projector_params)
 
         # one projection program per padded length (frames zero-padded up to
@@ -219,6 +234,9 @@ def main(argv=None):
     parser.add_argument("--gen_batch", type=int, default=4,
                         help="clips decoded per lockstep program (KV-cache "
                              "HBM is the ceiling: ~0.6 GB/clip at 7B bf16)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree over the mesh model "
+                             "axis for the generate graphs")
     args = parser.parse_args(argv)
 
     import transformers
@@ -233,7 +251,7 @@ def main(argv=None):
         None, params, cfg, projector_params, tokenizer,
         num_beams=args.num_beams, max_new_tokens=args.max_new_tokens,
         tap_layers=tuple(int(x) for x in args.tap_layers.split(",")),
-        gen_batch=args.gen_batch,
+        gen_batch=args.gen_batch, tp=args.tp,
     )
     extract_feat4_dir(extractor, args.wavlm_dir, args.save_dir)
 

@@ -90,11 +90,12 @@ def ring_gated_attention(q, k, v, gate, kvalid, rel_embed, *, axis_name: str,
 
     # mark the accumulators as device-varying over the ring axis (shard_map
     # type system: the carry outputs are varying, so the inputs must be too)
-    pvary = getattr(jax.lax, "pvary", None) or (
-        lambda x, names: jax.lax.pcast(x, names, to="varying"))
-    m0 = pvary(jnp.full((B, H, Tl, 1), NEG, jnp.float32), (axis_name,))
-    l0 = pvary(jnp.zeros((B, H, Tl, 1), jnp.float32), (axis_name,))
-    acc0 = pvary(jnp.zeros((B, H, Tl, hd), jnp.float32), (axis_name,))
+    def pvary(x):
+        return jax.lax.pcast(x, (axis_name,), to="varying")
+
+    m0 = pvary(jnp.full((B, H, Tl, 1), NEG, jnp.float32))
+    l0 = pvary(jnp.zeros((B, H, Tl, 1), jnp.float32))
+    acc0 = pvary(jnp.zeros((B, H, Tl, hd), jnp.float32))
     (_, _, _, _, l, acc), _ = jax.lax.scan(
         step, (k, v, kvalid, m0, l0, acc0), jnp.arange(p))
     out = acc / jnp.maximum(l, 1e-30)

@@ -90,10 +90,12 @@ def test_two_process_full_loop_matches_single_process():
             outs.append(out)
         return outs, None
 
-    # one retry on a fresh port: under heavy host load the distributed
+    # retries on fresh ports: under heavy host load the distributed
     # coordinator handshake can time out spuriously
     outs, err = launch_pair(port)
-    if outs is None:
+    for _ in range(2):
+        if outs is not None:
+            break
         outs, err = launch_pair(_free_port())
     assert outs is not None, err
 

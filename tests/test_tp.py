@@ -125,3 +125,49 @@ def test_wavlm_tp_matches_replicated(tp):
         np.asarray(ref["last_hidden_state"]),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_tp_beam_generate_matches_replicated():
+    """TP-sharded params through the whole while_loop beam decode (the
+    feat4 --tp path, extract/llm4wav.py) must reproduce the replicated
+    decode: same tokens, taps to float tolerance."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sdumc_tpu.models.generation import beam_generate
+    from sdumc_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+    from sdumc_tpu.parallel import make_mesh
+    from sdumc_tpu.parallel.sharding import llama_specs, shard_params
+
+    cfg = LlamaConfig.tiny(num_heads=4, hidden_size=64)
+    model = LlamaForCausalLM(cfg)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray((rng.normal(size=(1, 6, cfg.hidden_size)) * 0.5)
+                         .astype(np.float32))
+    params = model.init(jax.random.PRNGKey(3),
+                        input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+
+    def gen(p, pe):
+        def apply_fn(**kw):
+            return model.apply({"params": p}, **kw)
+
+        def embed_fn(ids):
+            return p["model"]["embed_tokens"]["embedding"][ids]
+
+        return beam_generate(apply_fn, pe, cfg, embed_fn=embed_fn,
+                             num_beams=4, max_new_tokens=12, eos_id=2)
+
+    ref = jax.jit(gen)(params, prompt)
+
+    mesh = make_mesh(data_parallel=1, model_parallel=2)
+    sharded = shard_params(params, mesh, llama_specs(params, mesh))
+    got = jax.jit(gen)(sharded, prompt)
+
+    np.testing.assert_array_equal(np.asarray(got["tokens"]),
+                                  np.asarray(ref["tokens"]))
+    assert int(got["n_steps"]) == int(ref["n_steps"])
+    n = int(ref["n_steps"])
+    np.testing.assert_allclose(np.asarray(got["taps"])[:n],
+                               np.asarray(ref["taps"])[:n],
+                               rtol=2e-4, atol=2e-4)
