@@ -9,7 +9,6 @@ TPU-specific additions are grouped separately.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from sdumc_tpu.core.config import (
     DataConfig,

@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from typing import Iterator, Tuple
 
 import numpy as np
 

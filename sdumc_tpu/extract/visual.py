@@ -16,7 +16,7 @@ import argparse
 import glob
 import os
 import time
-from typing import Dict, List, Sequence
+from typing import List
 
 import numpy as np
 

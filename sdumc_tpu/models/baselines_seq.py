@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from sdumc_tpu.core.config import ModelConfig
 from sdumc_tpu.core.registry import MODELS
-from sdumc_tpu.models.baselines import _BaselineBase, masked_mean
+from sdumc_tpu.models.baselines import _BaselineBase
 from sdumc_tpu.models.modules import CrossModalTransformerEncoder
 
 

@@ -16,7 +16,6 @@ the best attainable running score cannot beat the worst hypothesis.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Sequence, Tuple
 
 import jax

@@ -17,7 +17,7 @@ so the released RAF-DB checkpoint converts losslessly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ axis spans all hosts' devices (collectives ride ICI intra-pod, DCN across).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

@@ -19,7 +19,7 @@ import os
 import pickle
 import shutil
 import subprocess
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 from sdumc_tpu.data.labels import write_label_npz
 from sdumc_tpu.utils.files import write_key_csv

@@ -13,7 +13,7 @@ import concurrent.futures as futures
 import glob
 import os
 import wave
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 
