@@ -54,10 +54,14 @@ class WavLMConfig:
     # "einsum" materializes [B,H,T,T] scores+bias; "flash" streams them
     # through the factored-bias Pallas kernel (O(T) HBM,
     # ops/pallas/flash_wavlm.py); "auto" = flash on TPU for T >=
-    # flash_min_len (the measured crossover), einsum otherwise.
+    # flash_min_len (the measured crossover), einsum otherwise; "ring" =
+    # sequence-parallel ring attention (parallel/ring_attention.py) — only
+    # valid inside shard_map with the time axis sharded over ``ring_axis``
+    # (driven by parallel.wavlm_sp.wavlm_forward_sp).
     attention_impl: str = "auto"
     flash_min_len: int = 1024
     flash_block: int = 128
+    ring_axis: str = "data"
 
     @staticmethod
     def tiny(**kw) -> "WavLMConfig":
@@ -230,6 +234,25 @@ class WavLMAttention(nn.Module):
         k = nn.Dense(D, name="k_proj")(x).reshape(B, T, H, hd)
         v = nn.Dense(D, name="v_proj")(x).reshape(B, T, H, hd)
 
+        if impl == "ring":
+            # sequence-parallel: we are INSIDE shard_map, x is the local
+            # time shard; K/V ride the ring (parallel/ring_attention.py).
+            # position_bias carries the [num_buckets, H] embedding across
+            # layers exactly like the flash path.
+            from sdumc_tpu.parallel.ring_attention import ring_gated_attention
+
+            if position_bias is None:
+                position_bias = rel_embed
+            kvalid = (jnp.ones((B, T), jnp.float32) if pad_mask is None
+                      else pad_mask.astype(jnp.float32))
+            out = ring_gated_attention(
+                q, k, v, gate_out[..., 0], kvalid, position_bias,
+                axis_name=cfg.ring_axis,
+                num_buckets=cfg.num_buckets,
+                max_distance=cfg.max_bucket_distance,
+            ).reshape(B, T, D)
+            return nn.Dense(D, name="out_proj")(out), position_bias
+
         if impl == "flash":
             # trainable wrapper: identical kernel forward; a chunked-scan
             # custom_vjp supplies exact O(T)-memory gradients if the encoder
@@ -290,9 +313,66 @@ class EncoderLayer(nn.Module):
 
 
 class WavLMModel(nn.Module):
+    """setup-style so the conv prologue and the transformer stack are also
+    callable separately (``method="prologue"`` / ``method="encoder_stack"``)
+    — the split the sequence-parallel driver needs (parallel/wavlm_sp.py:
+    prologue replicated, stack shard_mapped over the time axis). Attribute
+    names reproduce the original compact-scope param tree exactly."""
+
     cfg: WavLMConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.feature_extractor = FeatureEncoder(cfg)
+        self.feature_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps)
+        self.feature_projection = nn.Dense(cfg.hidden_size)
+        self.pos_conv_embed = PositionalConvEmbedding(cfg)
+        self.encoder_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps)
+        self.layers = [
+            EncoderLayer(cfg, has_relative_position_bias=(i == 0))
+            for i in range(cfg.num_layers)
+        ]
+
+    def prologue(self, wav: jnp.ndarray,
+                 pad_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Everything before the transformer stack: conv feature encoder,
+        projection, masking, positional conv (+ encoder LN for post-LN
+        variants). Time is still whole here — the pos conv (kernel 128)
+        must see unsharded frames."""
+        cfg = self.cfg
+        feats = self.feature_extractor(wav)
+        x = self.feature_projection(self.feature_ln(feats))
+        # pad_mask is FRAME-level [B, T] (True = real frame); callers compute
+        # frame counts from sample counts via cfg.output_length. (The
+        # reference pads nothing — it runs one wav at a time; the mask
+        # enables batched extraction, HF-equivalent "padded frames output 0
+        # and are not attended to".)
+        if pad_mask is not None:
+            x = jnp.where(pad_mask[:, :, None], x, 0.0)
+        x = x + self.pos_conv_embed(x)
+        if not cfg.do_stable_layer_norm:
+            x = self.encoder_ln(x)
+        return x
+
+    def encoder_stack(self, x: jnp.ndarray,
+                      frame_mask: Optional[jnp.ndarray] = None,
+                      output_hidden_states: bool = False):
+        """The transformer layers (+ final LN for pre-LN variants). Under
+        the SP driver this runs inside shard_map on the local time shard
+        with attention_impl='ring'."""
+        cfg = self.cfg
+        hidden_states = [x] if output_hidden_states else None
+        position_bias = None
+        for layer in self.layers:
+            x, position_bias = layer(x, position_bias, frame_mask)
+            if output_hidden_states:
+                hidden_states.append(x)
+        if cfg.do_stable_layer_norm:
+            x = self.encoder_ln(x)
+            if output_hidden_states:
+                hidden_states[-1] = x
+        return x, (tuple(hidden_states) if output_hidden_states else None)
+
     def __call__(
         self,
         wav: jnp.ndarray,
@@ -304,37 +384,10 @@ class WavLMModel(nn.Module):
         host processor). Returns last_hidden_state [B, T, D] and optional
         hidden_states tuple (len = num_layers + 1, HF convention: entry 0 is
         the post-pos-conv input, the last entry is post-final-LN)."""
-        cfg = self.cfg
-        feats = FeatureEncoder(cfg, name="feature_extractor")(wav)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="feature_ln")(feats)
-        x = nn.Dense(cfg.hidden_size, name="feature_projection")(x)
-
-        # pad_mask is FRAME-level [B, T] (True = real frame); callers compute
-        # frame counts from sample counts via cfg.output_length. (The
-        # reference pads nothing — it runs one wav at a time; the mask
-        # enables batched extraction, HF-equivalent "padded frames output 0
-        # and are not attended to".)
-        frame_mask = pad_mask
-        if frame_mask is not None:
-            x = jnp.where(frame_mask[:, :, None], x, 0.0)
-
-        x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
-        if not cfg.do_stable_layer_norm:
-            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_ln")(x)
-
-        hidden_states = [x] if output_hidden_states else None
-        position_bias = None
-        for i in range(cfg.num_layers):
-            x, position_bias = EncoderLayer(
-                cfg, has_relative_position_bias=(i == 0), name=f"layers_{i}"
-            )(x, position_bias, frame_mask)
-            if output_hidden_states:
-                hidden_states.append(x)
-        if cfg.do_stable_layer_norm:
-            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_ln")(x)
-            if output_hidden_states:
-                hidden_states[-1] = x
+        x = self.prologue(wav, pad_mask)
+        x, hidden_states = self.encoder_stack(
+            x, pad_mask, output_hidden_states)
         return {
             "last_hidden_state": x,
-            "hidden_states": tuple(hidden_states) if output_hidden_states else None,
+            "hidden_states": hidden_states,
         }
