@@ -11,6 +11,7 @@ converter as the import path for reference checkpoints).
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Dict, Optional
 
@@ -115,6 +116,30 @@ def run_eval(eval_step, params, dataset: MoseiDataset, cfg: ExperimentConfig,
     }
 
 
+class PreemptionGuard:
+    """SIGTERM watcher for preemptible/spot TPU VMs: the epoch loop polls
+    ``fired`` once per step; on a signal it saves a resumable 'latest'
+    checkpoint and returns cleanly inside the grace window — the
+    interrupted epoch is redone on resume. (The reference has no failure
+    handling at all, SURVEY §5; a preemption loses the run.) The previous
+    handler is chained; installation is skipped off the main thread."""
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self.fired = False
+        for sig in signals:
+            try:
+                prev = signal.getsignal(sig)
+
+                def handler(signum, frame, _prev=prev):
+                    self.fired = True
+                    if callable(_prev):
+                        _prev(signum, frame)
+
+                signal.signal(sig, handler)
+            except ValueError:  # not the main thread
+                pass
+
+
 def train(
     cfg: ExperimentConfig,
     model,
@@ -127,6 +152,7 @@ def train(
     resume_from: Optional[str] = None,
     shard=(0, 1),
     multihost: bool = False,
+    preemption_guard=None,
 ) -> Dict:
     """``shard=(process_index, process_count)`` + ``multihost=True`` turns
     the same loop into multi-host DP: each host reads its BatchIterator
@@ -135,6 +161,7 @@ def train(
     metric sums are global (parallel/multihost.py)."""
     if multihost:
         from sdumc_tpu.parallel.multihost import host_local_batch_to_global
+    guard = preemption_guard if preemption_guard is not None else PreemptionGuard()
     steps_per_epoch = max(len(train_ds) // cfg.data.batch_size, 1)
     lr_sched = make_lr_schedule(
         cfg.train.lr, steps_per_epoch, cfg.train.warmup_epochs,
@@ -170,6 +197,11 @@ def train(
         (max(cfg.data.length_buckets),) if multihost else cfg.data.length_buckets
     )
     for epoch in range(start_epoch, cfg.train.epochs):
+        # epoch-boundary snapshot (host RAM): what a preemption mid-epoch
+        # saves, so resume replays the epoch exactly as if uninterrupted
+        boundary = {"params": jax.device_get(state.params),
+                    "opt_state": jax.device_get(state.opt_state),
+                    "step": int(state.step)}
         t0 = time.time()
         it = BatchIterator(
             train_ds, local_bs,
@@ -205,6 +237,22 @@ def train(
                 else jax.tree_util.tree_map(jax.numpy.add, acc, metrics)
             )
             n_clips += batch.size
+            if guard.fired:
+                break
+        if guard.fired:
+            # save the epoch-boundary snapshot under epoch-1 semantics:
+            # --resume replays this epoch and the continued run is
+            # step-for-step identical to an uninterrupted one (tested)
+            state_b = state.replace(
+                params=boundary["params"], opt_state=boundary["opt_state"],
+                step=jnp_int(boundary["step"]))
+            save_checkpoint(cfg, state_b, tag="latest", epoch=epoch - 1,
+                            best_full=best_full, best_missing=best_missing)
+            log(f"preemption signal: saved resumable checkpoint, "
+                f"epoch {epoch} will be redone on --resume")
+            return {"state": state_b, "best_full": best_full,
+                    "best_missing": best_missing, "history": history,
+                    "preempted": True}
         acc = jax.device_get(acc) if acc is not None else {}
         train_time = time.time() - t0
         cnt = float(acc.get("count", 0.0))

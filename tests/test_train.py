@@ -258,3 +258,63 @@ def test_bf16_feature_dtype_close_to_f32():
     v16, _ = ev(params, d16)
     np.testing.assert_allclose(np.asarray(v16), np.asarray(v32),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_preemption_resume_matches_uninterrupted(tmp_path):
+    """PreemptionGuard path: a mid-epoch 'SIGTERM' saves the epoch-boundary
+    snapshot; --resume replays the epoch and the continued run is
+    step-for-step identical to an uninterrupted one."""
+    from sdumc_tpu.data.feature_store import SyntheticSource
+    from sdumc_tpu.data.pipeline import MoseiDataset
+    from sdumc_tpu.train.loop import train
+
+    dims = {"audio": 16, "text": 32, "video": 16, "feat4": 32}
+    sources = {k: SyntheticSource(k, d, 4, 16) for k, d in dims.items()}
+    rng = np.random.default_rng(0)
+    names = [f"c{i}" for i in range(24)]
+    labels = [{"emo": 0.0, "val": float(rng.uniform(-3, 3))} for _ in names]
+    ds = MoseiDataset(names, labels, sources)
+
+    def make_cfg(ckpt):
+        return ExperimentConfig(
+            data=DataConfig(batch_size=8, length_buckets=(16,)),
+            model=ModelConfig(input_dims=(16, 32, 16), general_dim=32,
+                              layers=(32, 16), fused_layers=(32, 32)),
+            train=TrainConfig(epochs=2, lr=1e-3, checkpoint_dir=str(ckpt)),
+        )
+
+    model = SDUMCFusion(make_cfg(tmp_path).model)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 4, 16)), jnp.zeros((2, 4, 32)), jnp.zeros((2, 4, 16)),
+    )["params"]
+    fresh = lambda: jax.tree_util.tree_map(np.array, params)  # noqa: E731
+
+    full = train(make_cfg(tmp_path / "a"), model, fresh(), ds, ds, ds,
+                 log=lambda *a: None)
+
+    class Countdown:  # fires on the 5th per-step poll (epoch 1, step 2)
+        def __init__(self, n):
+            self.n = n
+
+        @property
+        def fired(self):
+            self.n -= 1
+            return self.n < 0
+
+    r = train(make_cfg(tmp_path / "b"), model, fresh(), ds, ds, ds,
+              log=lambda *a: None, preemption_guard=Countdown(4))
+    assert r.get("preempted") is True
+
+    resumed = train(make_cfg(tmp_path / "b"), model, fresh(), ds, ds, ds,
+                    log=lambda *a: None,
+                    resume_from=str(tmp_path / "b" / "latest"))
+    assert resumed["history"][-1]["epoch"] == full["history"][-1]["epoch"]
+    assert (resumed["history"][-1]["test"]["full"]["mae"]
+            == full["history"][-1]["test"]["full"]["mae"])
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(full["state"].params),
+        jax.tree_util.tree_leaves_with_path(resumed["state"].params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))
