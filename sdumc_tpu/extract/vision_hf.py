@@ -162,10 +162,31 @@ def build_resnet_runner(checkpoint: Optional[str] = None):
             224, IMAGENET_MEAN, IMAGENET_STD, cfg.channels[-1])
 
 
+def build_dinov2_runner(model_dir: str):
+    """jitted DINOv2 CLS embedding + its (size, mean, std, dim) — the
+    self-supervised ViT alternative (reference drives it via AutoModel,
+    extract_vision_huggingface.py:134-146)."""
+    import jax
+
+    from sdumc_tpu.convert.hf_dinov2 import load_hf_dinov2
+    from sdumc_tpu.models.dinov2 import Dinov2Model
+
+    cfg, params = load_hf_dinov2(model_dir)
+    model = Dinov2Model(cfg)
+    params = jax.device_put(params)  # jit arg, not HLO constants
+
+    @jax.jit
+    def run_p(p, pixels):
+        return model.apply({"params": p}, pixels)["pooled"]
+
+    return (lambda pixels: run_p(params, pixels),
+            cfg.image_size, IMAGENET_MEAN, IMAGENET_STD, cfg.hidden_size)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", type=str, default="clip",
-                        choices=["clip", "imagenet"])
+                        choices=["clip", "dinov2", "imagenet"])
     parser.add_argument("--model_dir", type=str, default=None,
                         help="HF CLIP checkpoint dir (clip mode)")
     parser.add_argument("--checkpoint", type=str, default=None,
@@ -180,6 +201,9 @@ def main(argv=None):
     if args.model == "clip":
         assert args.model_dir, "--model_dir required for clip"
         run, size, mean, std, dim = build_clip_runner(args.model_dir)
+    elif args.model == "dinov2":
+        assert args.model_dir, "--model_dir required for dinov2"
+        run, size, mean, std, dim = build_dinov2_runner(args.model_dir)
     else:
         run, size, mean, std, dim = build_resnet_runner(args.checkpoint)
 

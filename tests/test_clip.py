@@ -126,3 +126,65 @@ def test_vision_extract_dir_semantics(tmp_path):
     assert np.load(utt_dir / "v_empty.npy").shape == (3,)
 
     assert resample_frames(list(range(11)), 5) == [0, 5, 10]
+
+
+def test_dinov2_parity():
+    """From-scratch DINOv2 == HF Dinov2Model on a tiny config (LayerScale
+    residual branches, CLS pooling) — the second ViT alternative family."""
+    import torch
+    from transformers import Dinov2Config as HFCfg
+    from transformers import Dinov2Model as HFModel
+
+    from sdumc_tpu.convert.hf_dinov2 import config_from_hf, hf_dinov2_to_params
+    from sdumc_tpu.models.dinov2 import Dinov2Model
+
+    hf_cfg = HFCfg(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        mlp_ratio=4, image_size=28, patch_size=7,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = HFModel(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    params = hf_dinov2_to_params(hf.state_dict(), cfg)
+    model = Dinov2Model(cfg)
+
+    rng = np.random.default_rng(0)
+    pixels = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(np.transpose(pixels, (0, 3, 1, 2))))
+    got = model.apply({"params": params}, jnp.asarray(pixels))
+    np.testing.assert_allclose(
+        np.asarray(got["last_hidden_state"]),
+        ref.last_hidden_state.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got["pooled"]), ref.pooler_output.numpy(),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_dinov2_swiglu_variant():
+    """The giant-model SwiGLU FFN path also matches HF."""
+    import torch
+    from transformers import Dinov2Config as HFCfg
+    from transformers import Dinov2Model as HFModel
+
+    from sdumc_tpu.convert.hf_dinov2 import config_from_hf, hf_dinov2_to_params
+    from sdumc_tpu.models.dinov2 import Dinov2Model
+
+    hf_cfg = HFCfg(
+        hidden_size=24, num_hidden_layers=2, num_attention_heads=4,
+        mlp_ratio=4, image_size=21, patch_size=7, use_swiglu_ffn=True,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    hf = HFModel(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    params = hf_dinov2_to_params(hf.state_dict(), cfg)
+    rng = np.random.default_rng(1)
+    pixels = rng.normal(size=(1, 21, 21, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(np.transpose(pixels, (0, 3, 1, 2))))
+    got = Dinov2Model(cfg).apply({"params": params}, jnp.asarray(pixels))
+    np.testing.assert_allclose(
+        np.asarray(got["pooled"]), ref.pooler_output.numpy(),
+        rtol=1e-4, atol=1e-5)
