@@ -183,10 +183,48 @@ def build_dinov2_runner(model_dir: str):
             cfg.image_size, IMAGENET_MEAN, IMAGENET_STD, cfg.hidden_size)
 
 
+def build_videomae_runner(model_dir: str):
+    """jitted VideoMAE window embedding + its metadata. Videos are chunked
+    into ``num_frames`` windows (tail repeated), one token-mean embedding
+    per window — the temporal family in the reference's alternatives list."""
+    import jax
+
+    from sdumc_tpu.convert.hf_videomae import load_hf_videomae
+    from sdumc_tpu.models.videomae import VideoMAEModel
+
+    cfg, params = load_hf_videomae(model_dir)
+    model = VideoMAEModel(cfg)
+    params = jax.device_put(params)  # jit arg, not HLO constants
+
+    @jax.jit
+    def run_p(p, video):
+        return model.apply({"params": p}, video)["pooled"]
+
+    def run_windows(frames):
+        """list of [size, size, 3] frames -> [n_windows, D]."""
+        import jax.numpy as jnp
+
+        T = cfg.num_frames
+        n = max((len(frames) + T - 1) // T, 1)
+        out = []
+        for w in range(n):
+            win = frames[w * T:(w + 1) * T]
+            while len(win) < T:
+                win.append(win[-1] if win else
+                           np.zeros((cfg.image_size, cfg.image_size, 3),
+                                    np.float32))
+            out.append(np.asarray(
+                run_p(params, jnp.asarray(np.stack(win)[None]))[0]))
+        return np.stack(out)
+
+    return (run_windows, cfg.image_size, IMAGENET_MEAN, IMAGENET_STD,
+            cfg.hidden_size)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", type=str, default="clip",
-                        choices=["clip", "dinov2", "imagenet"])
+                        choices=["clip", "dinov2", "videomae", "imagenet"])
     parser.add_argument("--model_dir", type=str, default=None,
                         help="HF CLIP checkpoint dir (clip mode)")
     parser.add_argument("--checkpoint", type=str, default=None,
@@ -204,6 +242,27 @@ def main(argv=None):
     elif args.model == "dinov2":
         assert args.model_dir, "--model_dir required for dinov2"
         run, size, mean, std, dim = build_dinov2_runner(args.model_dir)
+    elif args.model == "videomae":
+        assert args.model_dir, "--model_dir required for videomae"
+        run_windows, size, mean, std, dim = build_videomae_runner(args.model_dir)
+        import glob as _glob
+        import time as _time
+
+        os.makedirs(args.save_dir, exist_ok=True)
+        vids = sorted(os.listdir(args.face_dir))
+        t0 = _time.time()
+        for vid in vids:
+            save_path = os.path.join(args.save_dir, f"{vid}.npy")
+            if os.path.exists(save_path):
+                continue
+            paths = resample_frames(sorted(_glob.glob(
+                os.path.join(args.face_dir, vid, "*"))), args.resample_step)
+            frames = [load_normalized(p, size, mean, std) for p in paths]
+            emb = (run_windows(frames) if frames
+                   else np.zeros((1, dim), np.float32))
+            save_embeddings(save_path, emb, dim, args.feature_level)
+        print(f"extracted {len(vids)} videos in {_time.time() - t0:.1f}s")
+        return
     else:
         run, size, mean, std, dim = build_resnet_runner(args.checkpoint)
 

@@ -188,3 +188,37 @@ def test_dinov2_swiglu_variant():
     np.testing.assert_allclose(
         np.asarray(got["pooled"]), ref.pooler_output.numpy(),
         rtol=1e-4, atol=1e-5)
+
+
+def test_videomae_parity():
+    """From-scratch VideoMAE == HF VideoMAEModel on a tiny config (tubelet
+    3D patch conv, regenerated sinusoid table, q/v-only attention biases)."""
+    import torch
+    from transformers import VideoMAEConfig as HFCfg
+    from transformers import VideoMAEModel as HFModel
+
+    from sdumc_tpu.convert.hf_videomae import (
+        config_from_hf, hf_videomae_to_params)
+    from sdumc_tpu.models.videomae import VideoMAEModel
+
+    hf_cfg = HFCfg(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, image_size=16, patch_size=8, num_frames=4,
+        tubelet_size=2, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = HFModel(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.use_mean_pooling  # trunk has no final LN
+    params = hf_videomae_to_params(hf.state_dict(), cfg)
+    model = VideoMAEModel(cfg)
+
+    rng = np.random.default_rng(0)
+    video = rng.normal(size=(2, 4, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        # HF layout: [B, T, C, H, W]
+        ref = hf(torch.tensor(np.transpose(video, (0, 1, 4, 2, 3))))
+    got = model.apply({"params": params}, jnp.asarray(video))
+    np.testing.assert_allclose(
+        np.asarray(got["last_hidden_state"]),
+        ref.last_hidden_state.numpy(), rtol=1e-4, atol=1e-5)
