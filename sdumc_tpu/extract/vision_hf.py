@@ -1,4 +1,4 @@
-"""Alternative visual extractors: CLIP ViT and ImageNet ResNet embeddings.
+"""Alternative visual extractors: CLIP / DINOv2 / VideoMAE / ImageNet ResNet.
 
 Reference (feature_extraction/visual/extract_vision_huggingface.py and
 extract_imagenet_embedding.py): per video, OpenFace face frames (resampled
@@ -245,23 +245,20 @@ def main(argv=None):
     elif args.model == "videomae":
         assert args.model_dir, "--model_dir required for videomae"
         run_windows, size, mean, std, dim = build_videomae_runner(args.model_dir)
-        import glob as _glob
-        import time as _time
-
         os.makedirs(args.save_dir, exist_ok=True)
         vids = sorted(os.listdir(args.face_dir))
-        t0 = _time.time()
+        t0 = time.time()
         for vid in vids:
             save_path = os.path.join(args.save_dir, f"{vid}.npy")
             if os.path.exists(save_path):
                 continue
-            paths = resample_frames(sorted(_glob.glob(
+            paths = resample_frames(sorted(glob.glob(
                 os.path.join(args.face_dir, vid, "*"))), args.resample_step)
             frames = [load_normalized(p, size, mean, std) for p in paths]
             emb = (run_windows(frames) if frames
                    else np.zeros((1, dim), np.float32))
             save_embeddings(save_path, emb, dim, args.feature_level)
-        print(f"extracted {len(vids)} videos in {_time.time() - t0:.1f}s")
+        print(f"extracted {len(vids)} videos in {time.time() - t0:.1f}s")
         return
     else:
         run, size, mean, std, dim = build_resnet_runner(args.checkpoint)
