@@ -134,9 +134,9 @@ def bench_train() -> float:
             state, metrics = step(state, d, rng)
             acc = metrics if acc is None else jax.tree_util.tree_map(
                 jnp.add, acc, metrics)
-        # sync via d2h fetch (a scalar): over the dev tunnel,
-        # block_until_ready alone is not a reliable barrier on some
-        # programs — measured equal here, fetch removes the doubt
+        # sync via a scalar d2h fetch — equivalent to block_until_ready
+        # per JAX semantics; measured identical here, kept for symmetry
+        # with the torch baseline's host-side read
         float(jax.device_get(acc["loss"]))
         return state
 

@@ -70,8 +70,9 @@ def main(argv=None):
             rng.normal(size=(C, P, cfg.hidden_size)).astype(np.float32) * 0.02)
         lens = jnp.full((C,), P - 5, jnp.int32)
         gen = jax.jit(lambda p, pe, pl: gen_fn(p, pe, pl, NEW))
-        # sync via a device->host fetch: over the axon dev tunnel,
-        # block_until_ready alone does not reliably block on remote buffers
+        # sync via a device->host fetch of the tokens — equivalent to
+        # block_until_ready per JAX semantics; the fetched array is also
+        # what a real extractor run would pull to host
         out = gen(params, prompts, lens)
         np.asarray(out["tokens"])
         t0 = time.perf_counter()

@@ -124,7 +124,77 @@ def hf_glm_to_params(state_dict: Dict, cfg: GlmConfig) -> dict:
     return p
 
 
+def config_from_chatglm(raw: Dict) -> GlmConfig:
+    """GlmConfig from a THUDM chatglm2 config.json dict (model_type
+    'chatglm'; its modeling code is trust_remote_code-only, so the fields
+    are mapped here rather than through a transformers config class)."""
+    import jax.numpy as jnp
+
+    n_heads = raw["num_attention_heads"]
+    head_dim = raw.get("kv_channels") or raw["hidden_size"] // n_heads
+    return GlmConfig(
+        vocab_size=raw.get("padded_vocab_size") or raw["vocab_size"],
+        hidden_size=raw["hidden_size"],
+        intermediate_size=raw["ffn_hidden_size"],
+        num_layers=raw["num_layers"],
+        num_heads=n_heads,
+        num_kv_heads=(raw["multi_query_group_num"]
+                      if raw.get("multi_query_attention") else n_heads),
+        head_dim=head_dim,
+        partial_rotary_factor=0.5,
+        rope_theta=10000.0 * raw.get("rope_ratio", 1.0),
+        rms_eps=raw.get("layernorm_epsilon", 1e-5),
+        attention_bias=raw.get("add_qkv_bias", True),
+        dtype=jnp.float32,
+    )
+
+
+def _load_raw_state_dict(model_dir: str) -> Dict:
+    """Read a checkpoint's tensors without instantiating its modeling code
+    (sharded or single-file, safetensors or torch .bin)."""
+    import glob
+    import json
+    import os
+
+    sd: Dict = {}
+    st_files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if st_files:
+        from safetensors import safe_open
+
+        for path in st_files:
+            with safe_open(path, framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+        return sd
+    import torch
+
+    index = os.path.join(model_dir, "pytorch_model.bin.index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            shards = sorted(set(json.load(f)["weight_map"].values()))
+        files = [os.path.join(model_dir, s) for s in shards]
+    else:
+        files = [os.path.join(model_dir, "pytorch_model.bin")]
+    for path in files:
+        sd.update(torch.load(path, map_location="cpu", weights_only=True))
+    return sd
+
+
 def load_hf_glm(model_dir: str) -> Tuple[GlmConfig, dict]:
+    """Load either lineage: HF-native GlmModel checkpoints go through
+    transformers; THUDM chatglm2 checkpoints (model_type 'chatglm', whose
+    modeling code needs trust_remote_code) are detected from config.json and
+    loaded as a raw state dict through the rename/split path above."""
+    import json
+    import os
+
+    cfg_path = os.path.join(model_dir, "config.json")
+    if os.path.isdir(model_dir) and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            raw = json.load(f)
+        if raw.get("model_type") == "chatglm":
+            cfg = config_from_chatglm(raw)
+            return cfg, hf_glm_to_params(_load_raw_state_dict(model_dir), cfg)
     import transformers
 
     hf = transformers.GlmModel.from_pretrained(model_dir)

@@ -105,24 +105,22 @@ class ServingBundle:
             names["x".join(map(str, c))] = name
         import jax
 
-        flat, treedef = jax.tree_util.tree_flatten(self._params)
+        # structural param-tree serialization: '/'-joined key paths in the
+        # manifest, arrays in params.npz. No pickle — loading a bundle from
+        # an untrusted producer must not execute code (param trees here are
+        # nested dicts of arrays, which key paths capture losslessly).
+        flat_kp, _ = jax.tree_util.tree_flatten_with_path(self._params)
+        paths = ["/".join(str(getattr(k, "key", k)) for k in kp)
+                 for kp, _ in flat_kp]
         np.savez(os.path.join(out_dir, "params.npz"),
-                 **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)})
-        import pickle
-
-        with open(os.path.join(out_dir, "treedef.pkl"), "wb") as f:
-            pickle.dump(treedef, f)
+                 **{f"p{i}": np.asarray(x) for i, (_, x) in enumerate(flat_kp)})
         with open(os.path.join(out_dir, "manifest.json"), "w") as f:
             json.dump({"batch_size": self.B, "input_dims": self.input_dims,
                        "combos": [list(c) for c in self.combos],
-                       "programs": names}, f, indent=1)
+                       "programs": names, "param_paths": paths}, f, indent=1)
 
     @staticmethod
     def load(out_dir: str) -> "ServingBundle":
-        import pickle
-
-        import jax
-
         with open(os.path.join(out_dir, "manifest.json")) as f:
             man = json.load(f)
         progs = {}
@@ -131,10 +129,13 @@ class ServingBundle:
             with open(os.path.join(out_dir, name), "rb") as f:
                 progs[tuple(c)] = load_exported(f.read())
         blob = np.load(os.path.join(out_dir, "params.npz"))
-        flat = [blob[f"p{i}"] for i in range(len(blob.files))]
-        with open(os.path.join(out_dir, "treedef.pkl"), "rb") as f:
-            treedef = pickle.load(f)
-        params = jax.tree_util.tree_unflatten(treedef, flat)
+        params: dict = {}
+        for i, path in enumerate(man["param_paths"]):
+            node = params
+            keys = path.split("/")
+            for k in keys[:-1]:
+                node = node.setdefault(k, {})
+            node[keys[-1]] = blob[f"p{i}"]
         return ServingBundle([tuple(c) for c in man["combos"]],
                              man["batch_size"], man["input_dims"], progs, params)
 
@@ -144,7 +145,10 @@ class ServingBundle:
         if not fitting:
             raise ValueError(f"no exported bucket combo fits lengths {lens}; "
                              f"have {self.combos}")
-        return min(fitting, key=lambda c: tuple(c))
+        # minimal total padded tokens, not lexicographic order: with
+        # heterogeneous combos (e.g. (64,512,512,64) vs (256,64,64,64)) the
+        # tuple-smallest combo can pad far more than necessary
+        return min(fitting, key=lambda c: (sum(c), c))
 
     def __call__(self, batch: Dict[str, np.ndarray]):
         """batch: audio/text/video/feat4 [B', T_m, D_m] (B' <= batch_size)
