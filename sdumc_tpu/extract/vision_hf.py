@@ -1,4 +1,5 @@
-"""Alternative visual extractors: CLIP / DINOv2 / VideoMAE / ImageNet ResNet.
+"""Alternative visual extractors: CLIP / DINOv2 / VideoMAE / EVA-02 /
+ImageNet ResNet.
 
 Reference (feature_extraction/visual/extract_vision_huggingface.py and
 extract_imagenet_embedding.py): per video, OpenFace face frames (resampled
@@ -183,6 +184,30 @@ def build_dinov2_runner(model_dir: str):
             cfg.image_size, IMAGENET_MEAN, IMAGENET_STD, cfg.hidden_size)
 
 
+def build_eva02_runner(model_dir: str):
+    """jitted EVA-02 pooled embedding + its (size, mean, std, dim) — the
+    timm family in the reference's alternatives list
+    (extract_vision_huggingface.py:23,142-146), loaded raw from the
+    checkpoint so timm itself is not needed. Preprocessing follows the timm
+    data config for the mim_in22k weights (bicubic resize, ImageNet
+    mean/std)."""
+    import jax
+
+    from sdumc_tpu.convert.timm_eva02 import load_timm_eva02
+    from sdumc_tpu.models.eva02 import Eva02Model
+
+    cfg, params = load_timm_eva02(model_dir)
+    model = Eva02Model(cfg)
+    params = jax.device_put(params)  # jit arg, not HLO constants
+
+    @jax.jit
+    def run_p(p, pixels):
+        return model.apply({"params": p}, pixels)["pooled"]
+
+    return (lambda pixels: run_p(params, pixels),
+            cfg.image_size, IMAGENET_MEAN, IMAGENET_STD, cfg.hidden_size)
+
+
 def build_videomae_runner(model_dir: str):
     """jitted VideoMAE window embedding + its metadata. Videos are chunked
     into ``num_frames`` windows (tail repeated), one token-mean embedding
@@ -224,7 +249,8 @@ def build_videomae_runner(model_dir: str):
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", type=str, default="clip",
-                        choices=["clip", "dinov2", "videomae", "imagenet"])
+                        choices=["clip", "dinov2", "videomae", "eva02",
+                                 "imagenet"])
     parser.add_argument("--model_dir", type=str, default=None,
                         help="HF CLIP checkpoint dir (clip mode)")
     parser.add_argument("--checkpoint", type=str, default=None,
@@ -242,6 +268,9 @@ def main(argv=None):
     elif args.model == "dinov2":
         assert args.model_dir, "--model_dir required for dinov2"
         run, size, mean, std, dim = build_dinov2_runner(args.model_dir)
+    elif args.model == "eva02":
+        assert args.model_dir, "--model_dir required for eva02"
+        run, size, mean, std, dim = build_eva02_runner(args.model_dir)
     elif args.model == "videomae":
         assert args.model_dir, "--model_dir required for videomae"
         run_windows, size, mean, std, dim = build_videomae_runner(args.model_dir)
