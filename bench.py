@@ -62,15 +62,18 @@ def _batches():
     return batches
 
 
-def bench_ours(feature_dtype: str = "float32") -> float:
+def bench_ours(feature_dtype: str = "float32", want_roofline: bool = False):
     """feature_dtype='bfloat16' measures the HBM-halving fast path
-    (DataConfig.feature_dtype); 'float32' is the checkpoint-exact default."""
+    (DataConfig.feature_dtype); 'float32' is the checkpoint-exact default.
+    With want_roofline, returns (clips/s, roofline dict) where the roofline
+    sums XLA cost analysis over every timed program call."""
     import jax
     import jax.numpy as jnp
 
     from sdumc_tpu.cli.common import build_model_and_params
     from sdumc_tpu.core.config import ExperimentConfig
     from sdumc_tpu.train.step import batch_to_device_dict, make_eval_step
+    from sdumc_tpu.utils.roofline import Roofline
 
     model, params = build_model_and_params(ExperimentConfig(), DIMS)
     params = jax.device_put(params)
@@ -98,13 +101,29 @@ def bench_ours(feature_dtype: str = "float32") -> float:
     dt = time.perf_counter() - t0
     preds = np.concatenate([np.asarray(v0) for v0, _ in outs[-N_BATCHES:]])
     assert preds.shape[0] == N_CLIPS
-    return TIMED_EPOCHS * N_CLIPS / dt
+    cps = TIMED_EPOCHS * N_CLIPS / dt
+    if not want_roofline:
+        return cps
+    rl = Roofline()
+    seen = set()
+    costs = {}
+    for d in device_batches:
+        key = tuple(v.shape for k, v in sorted(d.items()) if hasattr(v, "shape"))
+        if key not in seen:
+            seen.add(key)
+            costs[key] = eval_step.lower(params, d).compile()
+        rl.add(costs[key], calls=TIMED_EPOCHS)
+    return cps, rl.report(dt)
 
 
-def bench_train() -> float:
+def bench_train(precision: str | None = None, want_roofline: bool = False):
     """Training throughput: the jitted dual-view distillation step (forward
     + backward + Adam), canonical recipe bs=96 (shell recipe), metrics kept
-    on device (train/loop.py accumulates without per-step host syncs)."""
+    on device (train/loop.py accumulates without per-step host syncs).
+    ``precision`` overrides ModelConfig.matmul_precision (None = config
+    default; see TrainConfig.matmul_precision for the training story)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -112,8 +131,12 @@ def bench_train() -> float:
     from sdumc_tpu.core.config import ExperimentConfig
     from sdumc_tpu.train.state import create_train_state
     from sdumc_tpu.train.step import make_train_step
+    from sdumc_tpu.utils.roofline import Roofline
 
     cfg = ExperimentConfig()
+    if precision is not None:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, matmul_precision=precision))
     model, params = build_model_and_params(cfg, DIMS)
     state = create_train_state(model, jax.device_put(params), lambda s: 1e-4, l2=1e-5)
     step = make_train_step(model, cfg.loss)
@@ -128,22 +151,94 @@ def bench_train() -> float:
             "t_max": tuple(jnp.int32(t) for t in b.t_max),
         })
 
-    def run_epoch(state):
+    def run_epoch(state, sync: bool):
         acc = None
         for d in device_batches:
             state, metrics = step(state, d, rng)
             acc = metrics if acc is None else jax.tree_util.tree_map(
                 jnp.add, acc, metrics)
-        # sync via a scalar d2h fetch — equivalent to block_until_ready
-        # per JAX semantics; measured identical here, kept for symmetry
-        # with the torch baseline's host-side read
-        float(jax.device_get(acc["loss"]))
-        return state
+        if sync:
+            # scalar d2h fetch — equivalent to block_until_ready per JAX
+            # semantics; forces the epoch's device work to completion
+            float(jax.device_get(acc["loss"]))
+        return state, acc
 
-    state = run_epoch(state)  # compile all bucket combos
+    if want_roofline:
+        rl, seen, costs = Roofline(), set(), {}
+        for d in device_batches:
+            key = tuple(v.shape for k, v in sorted(d.items())
+                        if hasattr(v, "shape"))
+            if key not in seen:
+                seen.add(key)
+                costs[key] = step.lower(state, d, rng).compile()
+            rl.add(costs[key], calls=TIMED_EPOCHS)
+
+    state, _ = run_epoch(state, sync=True)  # compile all bucket combos
+    # steps chain through `state`, so device-side execution is already
+    # serialized; keep dispatch async across epochs (per-epoch syncs would
+    # charge the tunnel's 25 ms RPC latency to the measurement) and force
+    # completion once at the end
     t0 = time.perf_counter()
+    acc = None
     for _ in range(TIMED_EPOCHS):
-        state = run_epoch(state)
+        state, acc = run_epoch(state, sync=False)
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+    cps = TIMED_EPOCHS * N_CLIPS / dt
+    if not want_roofline:
+        return cps
+    return cps, rl.report(dt)
+
+
+def bench_e2e() -> float:
+    """End-to-end input-pipeline throughput: batches stream host->device
+    through BatchIterator (C++ native fill when built) with background
+    prefetch, then the jitted dual-view eval — the full production loop, no
+    pre-staging. The round-1 number pre-staged device batches; this proves
+    the data plane keeps the chip fed (VERDICT r1 item 4; reference
+    contract read_data.py:70-91)."""
+    import shutil
+
+    import jax
+
+    from sdumc_tpu.cli.common import build_model_and_params
+    from sdumc_tpu.core.config import ExperimentConfig
+    from sdumc_tpu.data.feature_store import NpyDirSource, SyntheticSource
+    from sdumc_tpu.data.pipeline import BatchIterator, MoseiDataset
+    from sdumc_tpu.train.step import batch_to_device_dict, make_eval_step
+
+    # materialize the same synthetic clips as .npy files (once per host)
+    feat_root = "/tmp/sdumc_bench_feats"
+    names = [f"clip_{b}_{i}" for b in range(N_BATCHES) for i in range(BATCH_SIZE)]
+    marker = os.path.join(feat_root, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(feat_root, ignore_errors=True)
+        for key, (d, lo, hi) in REGIMES.items():
+            src = SyntheticSource(key, d, lo, hi)
+            os.makedirs(os.path.join(feat_root, key), exist_ok=True)
+            for n in names:
+                np.save(os.path.join(feat_root, key, f"{n}.npy"), src.get(n))
+        open(marker, "w").close()
+
+    sources = {k: NpyDirSource(feat_root, k) for k in REGIMES}
+    labels = [{"emo": 0.0, "val": 0.0} for _ in names]
+    ds = MoseiDataset(names, labels, sources)
+
+    model, params = build_model_and_params(ExperimentConfig(), DIMS)
+    params = jax.device_put(params)
+    eval_step = make_eval_step(model)
+
+    def run_epoch():
+        it = BatchIterator(ds, BATCH_SIZE, shuffle=False, buckets=BUCKETS,
+                           prefetch=4)
+        return [eval_step(params, batch_to_device_dict(b)) for b in it]
+
+    jax.block_until_ready(run_epoch())  # compile + warm page cache
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(TIMED_EPOCHS):
+        outs.extend(run_epoch())
+    jax.block_until_ready([v0 for v0, _ in outs])
     dt = time.perf_counter() - t0
     return TIMED_EPOCHS * N_CLIPS / dt
 
@@ -215,27 +310,47 @@ def get_baseline() -> dict:
 
 def main():
     baseline = get_baseline()
-    ours = bench_ours()
+    ours, eval_rl = bench_ours(want_roofline=True)
     ours_bf16 = bench_ours("bfloat16")
-    train_cps = bench_train()
+    train_cps, train_rl = bench_train(want_roofline=True)
+    e2e_cps = bench_e2e()
     base = baseline.get("clips_per_sec") or float("nan")
     vs = ours / base if np.isfinite(base) and base > 0 else None
     import jax
 
-    print(
-        json.dumps(
-            {
-                "metric": "clips/sec/chip, dual-view (full+text-missing) MOSEI inference, bs=128",
-                "value": round(ours, 2),
-                "unit": "clips/s",
-                "vs_baseline": round(vs, 2) if vs else None,
-                "bf16_features_clips_per_sec": round(ours_bf16, 2),
-                "train_clips_per_sec": round(train_cps, 2),
-                "device": str(jax.devices()[0]),
-                "baseline": baseline.get("device"),
-            }
-        )
-    )
+    blob = {
+        "metric": "clips/sec/chip, dual-view (full+text-missing) MOSEI inference, bs=128",
+        "value": round(ours, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "bf16_features_clips_per_sec": round(ours_bf16, 2),
+        "train_clips_per_sec": round(train_cps, 2),
+        "e2e_clips_per_sec": round(e2e_cps, 2),
+        "e2e_vs_devicestaged_pct": round(100 * e2e_cps / ours, 1),
+        # roofline: XLA cost analysis over every timed program call (see
+        # sdumc_tpu/utils/roofline.py; peaks = public v5e specs)
+        "eval_roofline": eval_rl or None,
+        "train_roofline": train_rl or None,
+        "device": str(jax.devices()[0]),
+        "baseline": baseline.get("device"),
+    }
+    # extractor-scale numbers (WavLM-large real shapes, 7B-shaped feat4
+    # decode) are produced by scripts/bench_extractors.py on the same chip
+    # class and cached — rerun that script to refresh
+    ext_path = os.path.join(REPO, "bench_extractors.json")
+    if os.path.exists(ext_path):
+        with open(ext_path) as f:
+            ext = json.load(f)
+        wav = ext.get("wavlm", {})
+        f4 = ext.get("feat4", {})
+        if wav:
+            blob["wavlm_clips_per_sec"] = wav.get("bulk_bf16", {}).get("clips_per_sec")
+            blob["wavlm_hbm_gbps"] = wav.get("bulk_bf16", {}).get("hbm_gbps")
+        if f4:
+            blob["feat4_tokens_per_sec"] = f4.get("clip_tokens_per_sec_best")
+            blob["feat4_fits_single_chip"] = f4.get("fits_single_chip")
+        blob["extractor_bench_device"] = ext.get("device")
+    print(json.dumps(blob))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Extractor-scale benchmarks on the real chip (VERDICT r1 item 1).
+
+The round-1 numbers proved the tiny fusion net; the compute-heavy L1
+stages are where the reference actually spends its GPU-days (SURVEY §3.4:
+the feat4 stage — autoregressive 7B generate per clip — is "the by-far
+slowest"). This measures, at real shapes:
+
+  (a) WavLM-large audio extraction: MOSEI bulk regime (8 x 10 s wavs,
+      T=499 frames) in f32 and bf16, plus the long-tail regime (60 s,
+      T=2999) einsum vs flash attention — clips/s, frames/s, and achieved
+      HBM GB/s + FLOP/s utilization from XLA cost analysis.
+  (b) Vicuna-7B-*shaped* feat4 beam-4 decode (random bf16 weights —
+      throughput depends only on shapes): clip-tokens/s vs gen_batch,
+      with the does-7B-fit-on-one-v5e-chip answer recorded (weights
+      13.7 GB bf16 + KV caches vs 16 GB HBM).
+
+Writes ``bench_extractors.json`` at the repo root (bench.py folds it into
+the driver JSON line) and prints it.
+
+    python scripts/bench_extractors.py [--wavlm-only | --feat4-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdumc_jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from sdumc_tpu.utils.roofline import PEAKS, program_cost as _cost  # noqa: E402
+
+PEAK_FLOPS_BF16 = PEAKS["v5e"]["flops_bf16"]
+PEAK_HBM_GBPS = PEAKS["v5e"]["hbm_gbps"]
+OUT_PATH = os.path.join(REPO, "bench_extractors.json")
+
+
+def bench_wavlm(reps: int = 12) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdumc_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    rng = np.random.default_rng(0)
+    out: dict = {}
+
+    def one(tag, *, batch, seconds, dtype, impl):
+        cfg = WavLMConfig(attention_impl=impl, dtype=jnp.dtype(dtype))
+        model = WavLMModel(cfg)
+        S = seconds * 16000
+        T = cfg.output_length(S)
+        wav = jnp.asarray(rng.normal(size=(batch, S)).astype(np.float32))
+        mask = jnp.ones((batch, T), bool)
+
+        # random params at the real architecture size; dtype matches the
+        # extractor's cast path (extract/audio.py)
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), wav[:1],
+                               pad_mask=mask[:1]))["params"]
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+        @jax.jit
+        def make_params(key):
+            ks = jax.random.split(key, len(leaves))
+            return jax.tree_util.tree_unflatten(
+                treedef,
+                [0.02 * jax.random.normal(k, l.shape, jnp.dtype(dtype))
+                 for k, l in zip(ks, leaves)])
+
+        params = make_params(jax.random.PRNGKey(1))
+
+        @jax.jit
+        def run(p, w, m):
+            hs = model.apply({"params": p}, w.astype(jnp.dtype(dtype)),
+                             pad_mask=m, output_hidden_states=True)["hidden_states"]
+            return hs[-5].astype(jnp.float32)  # the reference's layer tap
+
+        r = run(params, wav, mask)
+        jax.block_until_ready(r)
+        flops, nbytes = _cost(run.lower(params, wav, mask).compile())
+        t0 = time.perf_counter()
+        outs = [run(params, wav, mask) for _ in range(reps)]
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        per_call = dt / reps
+        out[tag] = {
+            "clips_per_sec": round(batch / per_call, 2),
+            "frames_per_sec": round(batch * T / per_call, 1),
+            "sec_per_call": round(per_call, 4),
+            "T": T, "batch": batch, "dtype": dtype, "impl": impl,
+            "flops_util_pct": round(100 * flops / per_call / PEAK_FLOPS_BF16, 1)
+            if flops else None,
+            "hbm_gbps": round(nbytes / per_call / 1e9, 1) if nbytes else None,
+            "hbm_util_pct": round(100 * nbytes / per_call / 1e9 / PEAK_HBM_GBPS, 1)
+            if nbytes else None,
+        }
+        return out[tag]
+
+    # bulk MOSEI regime: ~10 s clips, batched
+    one("bulk_f32", batch=8, seconds=10, dtype="float32", impl="einsum")
+    one("bulk_bf16", batch=8, seconds=10, dtype="bfloat16", impl="einsum")
+    # long-tail regime (the clips the reference deletes): flash vs einsum
+    one("long_einsum_bf16", batch=1, seconds=60, dtype="bfloat16", impl="einsum")
+    one("long_flash_bf16", batch=1, seconds=60, dtype="bfloat16", impl="flash")
+    return out
+
+
+def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
+                reps: int = 2) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdumc_tpu.models.generation import beam_generate_batched
+    from sdumc_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(max_position_embeddings=prompt + new)  # 7B defaults
+    model = LlamaForCausalLM(cfg)
+    n_params = (
+        cfg.vocab_size * cfg.hidden_size * 2  # embed + lm_head
+        + cfg.num_layers * (4 * cfg.hidden_size ** 2
+                            + 3 * cfg.hidden_size * cfg.intermediate_size
+                            + 2 * cfg.hidden_size)
+        + cfg.hidden_size)
+    weight_gb = n_params * 2 / 1e9
+
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           input_ids=jnp.zeros((1, 8), jnp.int32)))["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def make_params(key):
+        ks = jax.random.split(key, len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef, [0.02 * jax.random.normal(k, l.shape, jnp.bfloat16)
+                      for k, l in zip(ks, leaves)])
+
+    params = make_params(jax.random.PRNGKey(2))
+    jax.block_until_ready(params)
+
+    def gen_fn(p, pe, pl):
+        apply_fn = lambda **kw: model.apply({"params": p}, **kw)  # noqa: E731
+        embed_fn = lambda ids: p["model"]["embed_tokens"]["embedding"][ids]  # noqa: E731
+        return beam_generate_batched(
+            apply_fn, pe, cfg, embed_fn=embed_fn, prompt_len=pl,
+            num_beams=4, max_new_tokens=new, eos_id=-1)  # eos never fires
+
+    rng = np.random.default_rng(0)
+    out: dict = {"shape": "7B (h4096 L32 MHA32, vocab 32k) bf16",
+                 "weight_gb": round(weight_gb, 2),
+                 "prompt": prompt, "new_tokens": new, "per_batch": {}}
+    gen = jax.jit(gen_fn)
+    for C in batches:
+        kv_gb = (cfg.num_layers * 2 * (C * 4) * (prompt + new)
+                 * cfg.hidden_size * 2) / 1e9
+        try:
+            prompts = jnp.asarray(
+                rng.normal(size=(C, prompt, cfg.hidden_size))
+                .astype(np.float32) * 0.02)
+            lens = jnp.full((C,), prompt - 5, jnp.int32)
+            o = gen(params, prompts, lens)
+            np.asarray(o["tokens"])  # sync
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                o = gen(params, prompts, lens)
+                np.asarray(o["tokens"])
+            dt = time.perf_counter() - t0
+            steps = int(np.asarray(o["n_steps"]).max())
+            tps = reps * C * steps / dt
+            out["per_batch"][str(C)] = {
+                "clip_tokens_per_sec": round(tps, 2),
+                "steps": steps, "sec_per_call": round(dt / reps, 3),
+                "kv_cache_gb": round(kv_gb, 2),
+                # decode streams the full weight set per step
+                "weight_stream_gbps": round(weight_gb * steps * reps / dt, 1),
+            }
+        except Exception as e:  # OOM at this batch — the fit boundary
+            msg = str(e).split("\n")[0][:200]
+            out["per_batch"][str(C)] = {"error": msg, "kv_cache_gb": round(kv_gb, 2)}
+            break
+    fits = [c for c, v in out["per_batch"].items() if "error" not in v]
+    out["fits_single_chip"] = (
+        f"7B bf16 ({out['weight_gb']} GB) + beam-4 KV fits one 16 GB v5e chip "
+        f"up to gen_batch={max(map(int, fits)) if fits else 0} "
+        f"at {prompt + new} total positions" if fits else
+        "7B bf16 does not fit a single 16 GB v5e chip with beam-4 KV caches")
+    best = max((v["clip_tokens_per_sec"]
+                for v in out["per_batch"].values() if "error" not in v),
+               default=0.0)
+    out["clip_tokens_per_sec_best"] = best
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--wavlm-only", action="store_true")
+    p.add_argument("--feat4-only", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    blob = {"device": str(jax.devices()[0])}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            blob.update(json.load(f))
+    if not args.feat4_only:
+        blob["wavlm"] = bench_wavlm()
+        print(json.dumps({"wavlm": blob["wavlm"]}, indent=1))
+    if not args.wavlm_only:
+        blob["feat4"] = bench_feat4()
+        print(json.dumps({"feat4": blob["feat4"]}, indent=1))
+    with open(OUT_PATH, "w") as f:
+        json.dump(blob, f, indent=1)
+    print(f"wrote {OUT_PATH}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,9 +1,11 @@
 from sdumc_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    make_hierarchical_mesh,
     make_mesh,
     replicated_sharding,
     shard_batch,
 )
+from sdumc_tpu.parallel.combined import make_tp_dp_dual_step  # noqa: F401
 from sdumc_tpu.parallel.sharding import (  # noqa: F401
     llama_specs,
     partition_specs,

@@ -44,9 +44,26 @@ def make_mesh(
     return Mesh(grid, (data_axis, model_axis))
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 3, data_axis: str = "data") -> NamedSharding:
-    """Shard axis 0 (batch) across the data axis, replicate the rest."""
+def batch_sharding(mesh: Mesh, ndim: int = 3, data_axis="data") -> NamedSharding:
+    """Shard axis 0 (batch) across the data axis (a name or a tuple of
+    names for hierarchical DCN x ICI meshes), replicate the rest."""
     return NamedSharding(mesh, P(data_axis, *([None] * (ndim - 1))))
+
+
+def make_hierarchical_mesh(dcn: int, ici: int, *, devices=None) -> Mesh:
+    """A 2-D (dcn, data) mesh shaped like a multi-pod deployment: the outer
+    ``dcn`` axis models the slow cross-pod network, the inner ``data`` axis
+    the fast intra-pod ICI ring. Shard batches with
+    ``batch_sharding(mesh, ndim, data_axis=("dcn", "data"))`` — XLA then
+    emits a hierarchical all-reduce (reduce-scatter inside each pod,
+    cross-pod exchange of the partial sums, all-gather back), which is the
+    layout that keeps the heavy traffic on ICI. On one host this validates
+    the program structure; on a real multi-pod slice the same mesh comes
+    from jax.experimental.mesh_utils.create_hybrid_device_mesh."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert dcn * ici <= len(devices), (dcn, ici, len(devices))
+    grid = np.array(devices[: dcn * ici]).reshape(dcn, ici)
+    return Mesh(grid, ("dcn", "data"))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -1,6 +1,7 @@
-"""Multi-host DP integration: 2 real processes, jax.distributed, one global
-mesh, global batch assembled from per-process shards — loss must equal the
-single-process run on the same global batch (SURVEY §7 step 6)."""
+"""Multi-host DP integration: 2 and 4 REAL processes, jax.distributed, one
+global mesh, global batch assembled from per-process shards — every process
+must report identical metrics, close to the single-process run on the same
+synthetic data (SURVEY §7 step 6)."""
 
 import os
 import pathlib
@@ -10,6 +11,8 @@ import subprocess
 import sys
 
 import pytest
+
+pytestmark = pytest.mark.slow  # real multi-process jax.distributed runs
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 SCRIPT = REPO / "scripts" / "multihost_smoke.py"
@@ -40,15 +43,10 @@ def _parse(out: str):
     return tuple(float(g) for g in m.groups())
 
 
-def test_two_process_full_loop_matches_single_process():
-    """Full train() epoch driver on 2 real processes (sharded BatchIterator,
-    make_array_from_process_local_data, gathered eval): both processes must
-    report IDENTICAL metrics, close to the single-process run on the same
-    synthetic data."""
-    port = _free_port()
-
-    # single-process reference runs inline: this test process already has
-    # the 8-device CPU mesh (conftest), saving a third jax startup
+@pytest.fixture(scope="module")
+def single_process_ref():
+    """Reference metrics from the full loop on one process; runs inline on
+    the conftest 8-device CPU mesh (saving an extra jax startup)."""
     import argparse
     import contextlib
     import importlib.util
@@ -57,7 +55,6 @@ def test_two_process_full_loop_matches_single_process():
     spec = importlib.util.spec_from_file_location("mh_smoke", SCRIPT)
     smoke = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(smoke)
-    import jax
 
     from sdumc_tpu.parallel import make_mesh
 
@@ -67,40 +64,53 @@ def test_two_process_full_loop_matches_single_process():
             make_mesh(data_parallel=4, model_parallel=1),
             argparse.Namespace(pid=0, nproc=1),
         )
-    ref = _parse(buf.getvalue())
+    return _parse(buf.getvalue())
 
-    def launch_pair(port):
-        procs = [
-            subprocess.Popen(
-                [sys.executable, str(SCRIPT), "--nproc", "2", "--pid", str(pid),
-                 "--coordinator", f"127.0.0.1:{port}", "--local_devices", "2",
-                 "--mode", "loop"],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-                env=_env(),
-            )
-            for pid in (0, 1)
-        ]
-        outs = []
-        for p in procs:
-            out, err = p.communicate(timeout=900)
-            if p.returncode != 0:
-                for q in procs:
-                    q.kill()
-                return None, err[-2000:]
-            outs.append(out)
-        return outs, None
 
+def _launch_group(nproc: int, local_devices: int, port: int):
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(SCRIPT), "--nproc", str(nproc),
+             "--pid", str(pid), "--coordinator", f"127.0.0.1:{port}",
+             "--local_devices", str(local_devices), "--mode", "loop"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_env(),
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        if p.returncode != 0:
+            for q in procs:
+                q.kill()
+            return None, err[-2000:]
+        outs.append(out)
+    return outs, None
+
+
+def _run_group_with_retries(nproc: int, local_devices: int):
     # retries on fresh ports: under heavy host load the distributed
     # coordinator handshake can time out spuriously
-    outs, err = launch_pair(port)
+    outs, err = _launch_group(nproc, local_devices, _free_port())
     for _ in range(2):
         if outs is not None:
             break
-        outs, err = launch_pair(_free_port())
+        outs, err = _launch_group(nproc, local_devices, _free_port())
     assert outs is not None, err
+    return outs
 
-    m0, m1 = _parse(outs[0]), _parse(outs[1])
-    assert m0 == m1, (m0, m1)  # all-reduce/gather makes them identical
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multi_process_full_loop_matches_single_process(nproc, single_process_ref):
+    """Full train() epoch driver on ``nproc`` real processes (sharded
+    BatchIterator, make_array_from_process_local_data, gathered eval): all
+    processes must report IDENTICAL metrics, close to the single-process
+    run on the same synthetic data."""
+    outs = _run_group_with_retries(nproc, local_devices=2)
+    metrics = [_parse(o) for o in outs]
+    # all-reduce/gather makes every process identical
+    assert all(m == metrics[0] for m in metrics[1:]), metrics
     # shard->host assignment shifts dropout draws; metrics stay close
-    for got, want in zip(m0, ref):
-        assert abs(got - want) < 0.05, (m0, ref)
+    for got, want in zip(metrics[0], single_process_ref):
+        assert abs(got - want) < 0.05, (metrics[0], single_process_ref)

@@ -175,6 +175,7 @@ def test_eval_step_runs():
     assert v0.shape == v1.shape == (2,)
 
 
+@pytest.mark.slow
 def test_resume_roundtrip(tmp_path):
     """Fault-tolerant resume: params+optimizer+bests survive a restart and
     the continued run matches an uninterrupted one."""
@@ -260,6 +261,7 @@ def test_bf16_feature_dtype_close_to_f32():
                                rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_preemption_resume_matches_uninterrupted(tmp_path):
     """PreemptionGuard path: a mid-epoch 'SIGTERM' saves the epoch-boundary
     snapshot; --resume replays the epoch and the continued run is
