@@ -41,6 +41,30 @@ import importlib.util
 import pytest
 
 
+GOLDEN_DIR = REPO_ROOT / "tests" / "goldens"
+
+
+def golden_npz(name: str, compute):
+    """Frozen-golden cache for parity tests.
+
+    Loads ``tests/goldens/{name}.npz`` if present; otherwise calls
+    ``compute()`` (which may import torch/transformers and the reference
+    tree) for a dict of numpy arrays, saves it, and returns it. With the
+    goldens committed, the default suite run needs neither torch nor the
+    reference checkout on the hot path — delete a file to regenerate it
+    against the live reference."""
+    import numpy as np
+
+    path = GOLDEN_DIR / f"{name}.npz"
+    if path.exists():
+        blob = np.load(path, allow_pickle=False)
+        return {k: blob[k] for k in blob.files}
+    data = {k: np.asarray(v) for k, v in compute().items()}
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    np.savez_compressed(path, **data)
+    return data
+
+
 def load_reference_module(relpath: str, name: str):
     """Import a module file from the read-only reference tree by path.
 

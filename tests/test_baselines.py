@@ -29,8 +29,10 @@ def _batch(rng, B=12, T=6):
 
 
 @pytest.mark.parametrize(
-    "name", ["tfn", "lmf", "attention", "misa", "mmim",
-             "mfn", "graph_mfn", "mfm", "mctn", "mult"])
+    "name", ["tfn", "lmf", "attention",
+             pytest.param("misa", marks=pytest.mark.slow),
+             "mmim", "mfn", "graph_mfn", "mfm", "mctn",
+             pytest.param("mult", marks=pytest.mark.slow)])
 def test_baseline_trains_under_the_dual_view_loop(name):
     cfg = ModelConfig(name=name, input_dims=DIMS, baseline_hidden_dim=8,
                       baseline_rank=3, baseline_mem_dim=8,

@@ -4,6 +4,10 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-axis train-step compiles; also run by
+#                                the driver's dryrun_multichip every round
 
 from sdumc_tpu.core.config import LossConfig, ModelConfig
 from sdumc_tpu.models import get_model

@@ -54,6 +54,7 @@ def test_ring_matches_single_device():
         np.where(mask, np.asarray(ref), 0.0), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_grads_flow():
     """The ring is differentiable end-to-end (ppermute has a transpose), so
     it can sit inside a fine-tuning graph."""

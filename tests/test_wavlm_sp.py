@@ -2,6 +2,10 @@
 mesh): conv prologue replicated, transformer stack shard_mapped over time
 with ring attention (parallel/wavlm_sp.py)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # whole-encoder shard_map compiles ~2 min each
+
 import numpy as np
 
 import jax
