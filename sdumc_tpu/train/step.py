@@ -111,15 +111,27 @@ def dual_view_loss(
     return loss, metrics
 
 
-def make_train_step(model, loss_cfg: LossConfig):
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+def make_train_step(model, loss_cfg: LossConfig, remat: bool = False):
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    ``remat`` wraps the dual-view loss in jax.checkpoint: the backward
+    recomputes the forward instead of reading saved activations. The step
+    is HBM-bound (XLA cost analysis: ~12.7 GB touched vs ~0.5 TFLOP at the
+    live shapes, arithmetic intensity 38 vs the v5e balance point 240), so
+    trading reads for recompute FLOPs is the right direction when it wins
+    on the measured chip; benchmark per shape regime."""
+
+    loss_for_grad = dual_view_loss
+    if remat:
+        loss_for_grad = jax.checkpoint(
+            dual_view_loss, static_argnums=(0, 3, 5))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            return dual_view_loss(model, params, batch, loss_cfg, rng, deterministic=False)
+            return loss_for_grad(model, params, batch, loss_cfg, rng, False)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)

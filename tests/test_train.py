@@ -41,38 +41,50 @@ def test_schedule_matches_torch_lambdalr():
     assert np.isclose(float(s(7)), torch_lrs[1], rtol=1e-6)
 
 
-@pytest.fixture(scope="module")
-def paired_models(ref_model_module):
+def _adam_batch():
+    rng = np.random.default_rng(0)
+    B, TA, TT, TV, TF = 6, 7, 5, 6, 4
+    return {
+        "a": rng.normal(size=(B, TA, INPUT_DIMS[0])).astype(np.float32),
+        "t": rng.normal(size=(B, TT, INPUT_DIMS[1])).astype(np.float32),
+        "v": rng.normal(size=(B, TV, INPUT_DIMS[2])).astype(np.float32),
+        "f4": rng.normal(size=(B, TF, INPUT_DIMS[1])).astype(np.float32),
+        "vals": rng.uniform(-3, 3, size=(B,)).astype(np.float32),
+        "tmax": (TA, TT, TV, TF),
+    }
+
+_ADAM_CHECKS = {
+    ("frame_dim_reshape_0", "dense", "kernel"): ("frame_dim_reshape_0.weight", True),
+    ("fc_out_v", "dense", "bias"): ("fc_out_v.bias", False),
+    ("fra2utt_1", "context"): ("fra2utt_1.attention_context_vector", False),
+    ("cross_att_fra2utt_0", "query_proj", "dense", "kernel"):
+        ("cross_att_fra2utt_0.query_proj.weight", True),
+    ("orgin_linear_change_1", "dense", "kernel"): ("orgin_linear_change.2.weight", True),
+}
+
+
+def _adam_golden():
+    """Torch side of the Adam parity test: one optimizer step with the
+    reference loss recipe (main:148), frozen to goldens."""
+    from tests.conftest import load_reference_module
+
+    ref_losses = load_reference_module("toolkit/utils/loss.py", "ref_loss")
+    ref_model_module = load_reference_module(
+        "toolkit/models/wengnet_mosei_mult_views_text_missing.py", "ref_model")
     args = types.SimpleNamespace(input_dims=list(INPUT_DIMS))
     torch.manual_seed(3)
     tmodel = ref_model_module.WengnetMOSEIMultViewsTextMissing(args)
-    cfg = ModelConfig(input_dims=INPUT_DIMS)
-    jmodel = SDUMCFusion(cfg)
-    dummy = tuple(jnp.zeros((2, 4, d)) for d in INPUT_DIMS)
-    template = jmodel.init(jax.random.PRNGKey(0), *dummy)["params"]
-    params, _ = torch_state_dict_to_params(tmodel.state_dict(), template)
-    return tmodel, jmodel, params
-
-
-def test_adam_step_parity_with_torch(paired_models, ref_losses):
-    """One full dual-view training step (dropout off) must move params the
-    same way torch Adam(l2=1e-5) does under the reference loss (main:148)."""
-    tmodel, jmodel, params = paired_models
     tmodel.eval()  # dropout off; grads still flow
     loss_cfg = LossConfig()
-    rng = np.random.default_rng(0)
-    B, TA, TT, TV, TF = 6, 7, 5, 6, 4
-    a = rng.normal(size=(B, TA, INPUT_DIMS[0])).astype(np.float32)
-    t = rng.normal(size=(B, TT, INPUT_DIMS[1])).astype(np.float32)
-    v = rng.normal(size=(B, TV, INPUT_DIMS[2])).astype(np.float32)
-    f4 = rng.normal(size=(B, TF, INPUT_DIMS[1])).astype(np.float32)
-    vals = rng.uniform(-3, 3, size=(B,)).astype(np.float32)
+    d = _adam_batch()
 
-    # --- torch side: one optimizer step with the reference loss recipe
+    init_sd = {k: v.detach().numpy().copy()
+               for k, v in tmodel.state_dict().items()}
+
     opt = torch.optim.Adam(tmodel.parameters(), lr=1e-4, weight_decay=1e-5)
     opt.zero_grad()
-    at, tt_, vt, f4t = map(torch.tensor, (a, t, v, f4))
-    vals_t = torch.tensor(vals)
+    at, tt_, vt, f4t = map(torch.tensor, (d["a"], d["t"], d["v"], d["f4"]))
+    vals_t = torch.tensor(d["vals"])
     out0, emb0 = tmodel([at, tt_, vt, False])
     out1, emb1 = tmodel([at, f4t, vt, True])
     mse = ref_losses.MSELoss()
@@ -90,10 +102,39 @@ def test_adam_step_parity_with_torch(paired_models, ref_losses):
     loss_t.backward()
     opt.step()
 
-    # --- jax side: same batch, deterministic dual-view step, lr factor 1.0
+    sd = tmodel.state_dict()
+    out = {f"init/{k}": v for k, v in init_sd.items()}
+    out["loss_t"] = np.float32(loss_t.item())
+    for path, (tk, transpose) in _ADAM_CHECKS.items():
+        v = sd[tk].detach().numpy()
+        out["post/" + "|".join(path)] = v.T if transpose else v
+    return out
+
+
+def test_adam_step_parity_with_torch():
+    """One full dual-view training step (dropout off) must move params the
+    same way torch Adam(l2=1e-5) does under the reference loss (main:148).
+    The torch side is frozen to tests/goldens (delete the npz to regenerate
+    against the live reference)."""
+    from tests.conftest import golden_npz
+
+    golden = golden_npz("adam_step_parity", _adam_golden)
+    loss_cfg = LossConfig()
+    d = _adam_batch()
+
+    cfg = ModelConfig(input_dims=INPUT_DIMS)
+    jmodel = SDUMCFusion(cfg)
+    dummy = tuple(jnp.zeros((2, 4, dd)) for dd in INPUT_DIMS)
+    template = jmodel.init(jax.random.PRNGKey(0), *dummy)["params"]
+    init_sd = {k[len("init/"):]: v for k, v in golden.items()
+               if k.startswith("init/")}
+    params, _ = torch_state_dict_to_params(init_sd, template)
+
+    TA, TT, TV, TF = d["tmax"]
     batch = {
-        "audio": jnp.array(a), "text": jnp.array(t), "video": jnp.array(v),
-        "feat4": jnp.array(f4), "vals": jnp.array(vals),
+        "audio": jnp.array(d["a"]), "text": jnp.array(d["t"]),
+        "video": jnp.array(d["v"]), "feat4": jnp.array(d["f4"]),
+        "vals": jnp.array(d["vals"]),
         "t_max": tuple(jnp.int32(x) for x in (TA, TT, TV, TF)),
     }
 
@@ -101,25 +142,17 @@ def test_adam_step_parity_with_torch(paired_models, ref_losses):
         return dual_view_loss(jmodel, p, batch, loss_cfg, jax.random.PRNGKey(0), deterministic=True)
 
     (loss_j, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-    assert np.isclose(float(loss_j), float(loss_t), rtol=1e-4), (float(loss_j), float(loss_t))
+    loss_t = float(golden["loss_t"])
+    assert np.isclose(float(loss_j), loss_t, rtol=1e-4), (float(loss_j), loss_t)
 
     state = create_train_state(jmodel, params, lambda s: 1e-4, l2=1e-5)
     state = state.apply_gradients(grads=grads)
 
-    # compare a representative selection of updated tensors
-    sd = tmodel.state_dict()
-    checks = {
-        ("frame_dim_reshape_0", "dense", "kernel"): sd["frame_dim_reshape_0.weight"].detach().numpy().T,
-        ("fc_out_v", "dense", "bias"): sd["fc_out_v.bias"].detach().numpy(),
-        ("fra2utt_1", "context"): sd["fra2utt_1.attention_context_vector"].detach().numpy(),
-        ("cross_att_fra2utt_0", "query_proj", "dense", "kernel"):
-            sd["cross_att_fra2utt_0.query_proj.weight"].detach().numpy().T,
-        ("orgin_linear_change_1", "dense", "kernel"): sd["orgin_linear_change.2.weight"].detach().numpy().T,
-    }
-    for path, ref_val in checks.items():
+    for path in _ADAM_CHECKS:
         node = state.params
         for p in path:
             node = node[p]
+        ref_val = golden["post/" + "|".join(path)]
         # atol 2e-4 = 2*lr: Adam's first step is ~±lr*sign(g), so framework
         # float noise on near-zero grads can flip single elements by ~lr.
         np.testing.assert_allclose(np.asarray(node), ref_val, rtol=2e-3, atol=2e-4)
