@@ -135,12 +135,24 @@ def bench_ours(feature_dtype: str = "float32", want_roofline: bool = False):
     return cps, rl.report(dt)
 
 
-def bench_train(precision: str | None = None, want_roofline: bool = False):
+def bench_train(precision: str | None = None, want_roofline: bool = False,
+                feature_dtype: str = "float32"):
     """Training throughput: the jitted dual-view distillation step (forward
-    + backward + Adam), canonical recipe bs=96 (shell recipe), metrics kept
-    on device (train/loop.py accumulates without per-step host syncs).
+    + backward + Adam), metrics kept on device (train/loop.py accumulates
+    without per-step host syncs).
+
+    Why train is ~6x slower than eval (round-2 profile, fetch-barrier
+    timings + XLA cost analysis on v5e): the train program touches 12.7 GB
+    per 128-clip batch vs eval's 1.9 GB (6.6x) and actually runs at BETTER
+    HBM utilization (~49% vs ~43% of the 819 GB/s peak) — the ratio is the
+    work, not an inefficiency. Measured non-causes: matmul precision
+    (highest vs default: 3992 vs 4055 clips/s), RnC (no change), dropout.
+    jax.checkpoint remat LOSES here (12.7 -> 17.5 GB, 3985 -> 3067 clips/s
+    — recompute re-reads the big feature tensors). bfloat16 features cut
+    the feature reads: 4509 clips/s (+13%), the same fast path eval uses.
+
     ``precision`` overrides ModelConfig.matmul_precision (None = config
-    default; see TrainConfig.matmul_precision for the training story)."""
+    default)."""
     import dataclasses
 
     import jax
@@ -161,7 +173,7 @@ def bench_train(precision: str | None = None, want_roofline: bool = False):
     step = make_train_step(model, cfg.loss)
     rng = jax.random.PRNGKey(0)
 
-    device_batches = stage_device_batches("float32")
+    device_batches = stage_device_batches(feature_dtype)
 
     def run_epoch(state, sync: bool):
         acc = None
@@ -323,6 +335,7 @@ def main():
     ours, eval_rl = bench_ours(want_roofline=True)
     ours_bf16 = bench_ours("bfloat16")
     train_cps, train_rl = bench_train(want_roofline=True)
+    train_bf16_cps = bench_train(feature_dtype="bfloat16")
     host_cps = bench_host_pipeline()
     base = baseline.get("clips_per_sec") or float("nan")
     vs = ours / base if np.isfinite(base) and base > 0 else None
@@ -335,6 +348,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "bf16_features_clips_per_sec": round(ours_bf16, 2),
         "train_clips_per_sec": round(train_cps, 2),
+        "train_bf16_features_clips_per_sec": round(train_bf16_cps, 2),
         # producer/consumer: steady-state e2e = min(host pipeline, device);
         # measured separately because this host reaches the chip over a
         # ~10 MB/s dev tunnel (a colocated TPU host streams GB/s over DMA,

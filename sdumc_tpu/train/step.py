@@ -115,11 +115,13 @@ def make_train_step(model, loss_cfg: LossConfig, remat: bool = False):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     ``remat`` wraps the dual-view loss in jax.checkpoint: the backward
-    recomputes the forward instead of reading saved activations. The step
-    is HBM-bound (XLA cost analysis: ~12.7 GB touched vs ~0.5 TFLOP at the
-    live shapes, arithmetic intensity 38 vs the v5e balance point 240), so
-    trading reads for recompute FLOPs is the right direction when it wins
-    on the measured chip; benchmark per shape regime."""
+    recomputes the forward instead of reading saved activations. Measured
+    on v5e at the live shapes it LOSES (12.7 -> 17.5 GB touched, 3985 ->
+    3067 clips/s): the step is HBM-bound and whole-loss recompute re-reads
+    the big [B, T, 1024/4096] feature tensors, which cost more than the
+    saved activations. Kept as an option for regimes where activations
+    dominate features (deep stacks over short sequences); off by
+    default."""
 
     loss_for_grad = dual_view_loss
     if remat:
