@@ -80,14 +80,19 @@ def bench_wavlm(reps: int = 12) -> dict:
         def run(p, w, m):
             hs = model.apply({"params": p}, w.astype(jnp.dtype(dtype)),
                              pad_mask=m, output_hidden_states=True)["hidden_states"]
-            return hs[-5].astype(jnp.float32)  # the reference's layer tap
+            tap = hs[-5].astype(jnp.float32)  # the reference's layer tap
+            # reduce to a scalar for the sync: fetching the full [B, T, D]
+            # tap would time the dev tunnel (~10 MB/s), not the chip — a
+            # colocated host DMAs the tap out faster than the next batch
+            # computes
+            return tap.mean()
 
         r = run(params, wav, mask)
-        jax.block_until_ready(r)
+        float(r)  # d2h fetch barrier (block_until_ready returns early on axon)
         flops, nbytes = _cost(run.lower(params, wav, mask).compile())
         t0 = time.perf_counter()
         outs = [run(params, wav, mask) for _ in range(reps)]
-        jax.block_until_ready(outs)
+        float(outs[-1])  # programs run in launch order; last fetch syncs all
         dt = time.perf_counter() - t0
         per_call = dt / reps
         out[tag] = {

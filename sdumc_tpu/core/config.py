@@ -138,13 +138,20 @@ class ModelConfig:
     # throughput when parity is not required.
     matmul_precision: str = "highest"
     # Fused Pallas kernels for the frame attention ops (ops/pallas/): "on",
-    # "off", or "auto". Measured on v5e at the live dims (D=256, T<=512,
-    # bs=128): XLA's own fusion of the einsum formulation is faster (5.2k
-    # vs 4.6k clips/s dual-view) — at this size the model is launch/HBM
-    # bound and XLA fuses across op boundaries the kernels can't. "auto"
-    # therefore resolves to off here; the kernels are kept (tested on CPU
-    # interpret + TPU) as the long-sequence/large-dim path and as the
-    # basis for the encoder flash-attention kernels.
+    # "off", or "auto". Round-1: at the live dims (D=256, T<=512, bs=128)
+    # XLA's fusion of the einsum formulation wins (5.2k vs 4.6k clips/s
+    # dual-view). Round-2 settled the promised long-sequence regime with a
+    # (T, D) sweep on v5e (B=32, fetch-barrier timings): at D=256 the
+    # kernels sit within tunnel-timing noise of XLA across T=512..4096
+    # (pool 0.8-1.2x, one outlier 4.3x at T=2048; cross 0.7-2.0x) — no
+    # regime with a consistent, reproducible win. D>=512 with a >=4x4 grid
+    # additionally crashes this environment's chipless AOT compile helper
+    # (each dimension compiles alone; the combination dies server-side —
+    # toolchain quirk, tiles are VMEM-bounded in fused_cross.py). Verdict:
+    # "auto" resolves to OFF everywhere; the kernels stay as the tested
+    # substrate the flash_wavlm encoder kernel (the Pallas path that DOES
+    # pay, see scripts/bench_extractors.py long_flash vs long_einsum) was
+    # built from.
     use_pallas: str = "auto"
 
 

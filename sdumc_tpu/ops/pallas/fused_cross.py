@@ -102,10 +102,19 @@ def _cross_forward(q, x, k_kernel, k_bias, t_max, *, softmax_scale, block_t,
     B, Q, D = q.shape
     _, T, _ = x.shape
     block_t = min(block_t, T)
-    assert T % block_t == 0, (T, block_t)
     block_b = min(block_b, B)
     while B % block_b:
         block_b //= 2
+    # VMEM bound: the kernel holds ~3 [bb, bt, D] f32 tiles (x, k, and the
+    # dot temporaries) plus the [D, D] weight; above D=256 the default
+    # 8x256 tile overflows the ~16 MB VMEM and Mosaic dies. Shrink the
+    # time tile (then the batch tile) to keep each tile group <= ~4 MB.
+    budget = 1 << 20  # f32 elements per [bb*bt, D] tile
+    while block_b * block_t * D > budget and block_t > 8 and T % (block_t // 2) == 0:
+        block_t //= 2
+    while block_b * block_t * D > budget and block_b > 1:
+        block_b //= 2
+    assert T % block_t == 0, (T, block_t)
     Qp = max(8, -(-Q // 8) * 8)                        # pad queries to sublane multiple
     if Qp != Q:
         q = jnp.concatenate([q, jnp.zeros((B, Qp - Q, D), q.dtype)], axis=1)
