@@ -331,3 +331,61 @@ def test_chatglm2_statedict_mapping():
     out_hf = model.apply({"params": p_hf}, ids)["last_hidden_state"]
     out_cg = model.apply({"params": p_cg}, ids)["last_hidden_state"]
     np.testing.assert_array_equal(np.asarray(out_hf), np.asarray(out_cg))
+
+
+def test_chatglm2_raw_checkpoint_loader(tmp_path):
+    """load_hf_glm must take the trust_remote_code-free branch for a THUDM
+    chatglm2 checkpoint dir (model_type 'chatglm'): GlmConfig built from
+    the chatglm config fields (multi_query_group_num -> num_kv_heads,
+    ffn_hidden_size, kv_channels, rope_ratio), tensors read raw from
+    pytorch_model.bin — GlmModel.from_pretrained would reject this layout."""
+    import json
+
+    from sdumc_tpu.convert.hf_glm import load_hf_glm
+    from sdumc_tpu.models.glm import GlmModel
+
+    H, NH, KV, HD, FFN, L, V = 48, 4, 2, 12, 80, 2, 97
+    raw_cfg = {
+        "model_type": "chatglm", "hidden_size": H, "ffn_hidden_size": FFN,
+        "num_layers": L, "num_attention_heads": NH, "kv_channels": HD,
+        "multi_query_attention": True, "multi_query_group_num": KV,
+        "padded_vocab_size": V, "layernorm_epsilon": 1e-5,
+        "add_qkv_bias": True, "rope_ratio": 1.0,
+    }
+    torch.manual_seed(5)
+    q_sz, kv_sz = NH * HD, KV * HD
+    sd = {
+        "transformer.embedding.word_embeddings.weight": torch.randn(V, H),
+        "transformer.encoder.final_layernorm.weight": torch.randn(H),
+        "transformer.output_layer.weight": torch.randn(V, H),
+        "transformer.rotary_pos_emb.inv_freq": torch.randn(HD // 4),
+    }
+    for i in range(L):
+        pre = f"transformer.encoder.layers.{i}."
+        sd[pre + "self_attention.query_key_value.weight"] = torch.randn(
+            q_sz + 2 * kv_sz, H)
+        sd[pre + "self_attention.query_key_value.bias"] = torch.randn(
+            q_sz + 2 * kv_sz)
+        sd[pre + "self_attention.dense.weight"] = torch.randn(H, q_sz)
+        sd[pre + "mlp.dense_h_to_4h.weight"] = torch.randn(2 * FFN, H)
+        sd[pre + "mlp.dense_4h_to_h.weight"] = torch.randn(H, FFN)
+        sd[pre + "input_layernorm.weight"] = torch.randn(H)
+        sd[pre + "post_attention_layernorm.weight"] = torch.randn(H)
+
+    d = tmp_path / "chatglm2-6b"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(raw_cfg))
+    torch.save(sd, str(d / "pytorch_model.bin"))
+
+    cfg, params = load_hf_glm(str(d))
+    assert (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads) == (H, NH, KV)
+    assert cfg.head_dim == HD and cfg.intermediate_size == FFN
+    assert cfg.vocab_size == V and cfg.num_layers == L
+    assert params["layers_0"]["self_attn"]["q_proj"]["kernel"].shape == (H, q_sz)
+    assert params["layers_0"]["self_attn"]["k_proj"]["kernel"].shape == (H, kv_sz)
+    assert "bias" in params["layers_0"]["self_attn"]["q_proj"]
+
+    model = GlmModel(cfg)
+    ids = jnp.asarray(np.array([[3, 1, 4, 1, 5]]))
+    out = model.apply({"params": params}, ids)["last_hidden_state"]
+    assert np.isfinite(np.asarray(out)).all()
