@@ -111,9 +111,14 @@ def bench_wavlm(reps: int = 12) -> dict:
     # bulk MOSEI regime: ~10 s clips, batched
     one("bulk_f32", batch=8, seconds=10, dtype="float32", impl="einsum")
     one("bulk_bf16", batch=8, seconds=10, dtype="bfloat16", impl="einsum")
-    # long-tail regime (the clips the reference deletes): flash vs einsum
+    # long-tail regime (the clips the reference deletes): flash vs einsum,
+    # in both dtypes — the crossover is dtype-dependent (the kernel
+    # computes f32 internally, so bf16 halves only the einsum path's
+    # dominant [B,H,T,T] traffic)
     one("long_einsum_bf16", batch=1, seconds=60, dtype="bfloat16", impl="einsum")
     one("long_flash_bf16", batch=1, seconds=60, dtype="bfloat16", impl="flash")
+    one("long_einsum_f32", batch=1, seconds=60, dtype="float32", impl="einsum")
+    one("long_flash_f32", batch=1, seconds=60, dtype="float32", impl="flash")
     return out
 
 

@@ -217,10 +217,17 @@ class WavLMAttention(nn.Module):
                 jnp.take(rel_embed, buckets, axis=0), (2, 0, 1)
             )  # [H, T, T]
         elif impl == "flash" and position_bias is None:
-            # flash carries the [num_buckets, H] embedding across layers —
-            # the Toeplitz bias tiles are built inside the kernel wrapper,
-            # never the [H, T, T] tensor
-            position_bias = rel_embed
+            # flash carries (rel_embed, Toeplitz bias tiles) across layers:
+            # the tile table depends only on the shared [num_buckets, H]
+            # embedding, so it is built ONCE here instead of once per layer
+            # (at T=3000 that is ~50 MB of tile writes + the bucket-log
+            # construction x24 saved); the [H, T, T] tensor is never built
+            from sdumc_tpu.ops.pallas.flash_wavlm import bias_tiles_for
+
+            n_tiles = -(-T // cfg.flash_block)
+            position_bias = (rel_embed, bias_tiles_for(
+                rel_embed, n_tiles, cfg.flash_block,
+                cfg.num_buckets, cfg.max_bucket_distance))
 
         # --- gru_rel_pos gating of the shared bias
         gru_const = self.param("gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1))
@@ -260,11 +267,13 @@ class WavLMAttention(nn.Module):
             from sdumc_tpu.ops.pallas.flash_wavlm import (
                 flash_gated_attention_trainable as flash_gated_attention)
 
+            rel_carry, tiles_carry = position_bias
             out = flash_gated_attention(
                 q, k, v,
                 gate_out[..., 0],                       # [B, H, T]
-                position_bias,                          # rel_embed carry
+                rel_carry,
                 pad_mask,
+                tiles_carry,                            # shared across layers
                 num_buckets=cfg.num_buckets,
                 max_distance=cfg.max_bucket_distance,
                 block=cfg.flash_block,

@@ -122,6 +122,7 @@ def flash_gated_attention(
     gate: jnp.ndarray,
     rel_embed: jnp.ndarray,
     kvalid=None,
+    bias_tiles=None,
     *,
     num_buckets: int,
     max_distance: int,
@@ -135,6 +136,12 @@ def flash_gated_attention(
       gate: [B, H, T] — the gru_rel_pos gate (gate_a*(gate_b*c-1)+2).
       rel_embed: [num_buckets, H] shared bias embedding.
       kvalid: optional [B, T] bool/float key validity (True/1 = attend).
+      bias_tiles: optional precomputed tile table from ``bias_tiles_for``
+        (must match this T's tile count and ``block``). The table is
+        layer-independent — WavLM shares one rel_embed across its 24
+        layers — so the encoder builds it once and threads it through the
+        layer carry instead of paying the bucket-log construction (and a
+        ~50 MB tile write at T=3000) per layer.
     Returns [B, T, H, hd] (same dtype as q).
     """
     B, T, H, hd = q.shape
@@ -163,7 +170,12 @@ def flash_gated_attention(
     mask_col = jnp.where(kvalid > 0, 0.0, NEG / scale).astype(qt.dtype)
     mask_col = jnp.broadcast_to(mask_col[:, None, :, None], (B, H, Tp, 1))
     ka = jnp.concatenate([kt, zeros_col, mask_col], axis=-1)
-    tiles = bias_tiles_for(rel_embed, n, block, num_buckets, max_distance)
+    if bias_tiles is None:
+        tiles = bias_tiles_for(rel_embed, n, block, num_buckets, max_distance)
+    else:
+        tiles = bias_tiles
+        assert tiles.shape == (2 * n - 1, H, block, block), (
+            tiles.shape, (2 * n - 1, H, block, block))
 
     grid = (B, H, n, n)
     kernel = functools.partial(_flash_kernel, scale=scale, n_k=n, hd=hd)
@@ -282,42 +294,54 @@ def _flash_bwd_scan(q, k, v, gate, rel_embed, kvalid, out, dout,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _flash_trainable(num_buckets, max_distance, block, chunk, interpret,
-                     q, k, v, gate, rel_embed, kvalid):
+                     q, k, v, gate, rel_embed, kvalid, bias_tiles):
     return flash_gated_attention(
-        q, k, v, gate, rel_embed, kvalid,
+        q, k, v, gate, rel_embed, kvalid, bias_tiles,
         num_buckets=num_buckets, max_distance=max_distance,
         block=block, interpret=interpret)
 
 
 def _flash_trainable_fwd(num_buckets, max_distance, block, chunk, interpret,
-                         q, k, v, gate, rel_embed, kvalid):
+                         q, k, v, gate, rel_embed, kvalid, bias_tiles):
     out = _flash_trainable(num_buckets, max_distance, block, chunk, interpret,
-                           q, k, v, gate, rel_embed, kvalid)
-    return out, (q, k, v, gate, rel_embed, kvalid, out)
+                           q, k, v, gate, rel_embed, kvalid, bias_tiles)
+    return out, (q, k, v, gate, rel_embed, kvalid, bias_tiles, out)
 
 
 def _flash_trainable_bwd(num_buckets, max_distance, block, chunk, interpret,
                          res, dout):
-    q, k, v, gate, rel_embed, kvalid, out = res
+    q, k, v, gate, rel_embed, kvalid, bias_tiles, out = res
     dq, dk, dv, dgate, drel = _flash_bwd_scan(
         q, k, v, gate, rel_embed, kvalid, out, dout,
         num_buckets, max_distance, chunk)
-    return dq, dk, dv, dgate, drel, jnp.zeros_like(kvalid)
+    # bias_tiles is a pure function of rel_embed; the scatter-add in
+    # _flash_bwd_scan already yields the FULL d_rel_embed, so the tiles
+    # argument carries a zero cotangent (it is a forward-only cache)
+    return (dq, dk, dv, dgate, drel, jnp.zeros_like(kvalid),
+            jnp.zeros_like(bias_tiles))
 
 
 _flash_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
 
 
 def flash_gated_attention_trainable(
-    q, k, v, gate, rel_embed, kvalid=None, *,
+    q, k, v, gate, rel_embed, kvalid=None, bias_tiles=None, *,
     num_buckets, max_distance, block: int = 128, chunk: int = 128,
     interpret: bool = False,
 ):
     """flash_gated_attention with exact gradients (see module comment).
     Forward cost is identical to the kernel path; the custom backward only
-    runs under differentiation."""
+    runs under differentiation. ``bias_tiles`` must be consistent with
+    ``rel_embed`` when given (the encoder builds them from the same param
+    and shares them across layers)."""
     if kvalid is None:
         kvalid = jnp.ones(q.shape[:2], jnp.float32)
+    if bias_tiles is None:
+        T = q.shape[1]
+        n = (T + block - 1) // block
+        bias_tiles = bias_tiles_for(rel_embed, n, block,
+                                    num_buckets, max_distance)
     return _flash_trainable(num_buckets, max_distance, block, chunk,
                             interpret, q, k, v, gate,
-                            rel_embed, kvalid.astype(jnp.float32))
+                            rel_embed, kvalid.astype(jnp.float32),
+                            bias_tiles)
