@@ -119,6 +119,14 @@ def bench_wavlm(reps: int = 12) -> dict:
     one("long_flash_bf16", batch=1, seconds=60, dtype="bfloat16", impl="flash")
     one("long_einsum_f32", batch=1, seconds=60, dtype="float32", impl="einsum")
     one("long_flash_f32", batch=1, seconds=60, dtype="float32", impl="flash")
+    # batched long clips: einsum's [B, H, T, T] scores are ~4.6 GB here
+    # (the regime that forced the extractor's frame-budget batch cap and
+    # the reference's 51-clip deletion); flash runs the full batch in O(T)
+    for tag, impl in (("long8_einsum_bf16", "einsum"), ("long8_flash_bf16", "flash")):
+        try:
+            one(tag, batch=8, seconds=60, dtype="bfloat16", impl=impl)
+        except Exception as e:
+            out[tag] = {"error": str(e).split("\n")[0][:160]}
     return out
 
 

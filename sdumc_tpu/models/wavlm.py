@@ -53,13 +53,26 @@ class WavLMConfig:
     use_rel_pos_bias: bool = True
     # "einsum" materializes [B,H,T,T] scores+bias; "flash" streams them
     # through the factored-bias Pallas kernel (O(T) HBM,
-    # ops/pallas/flash_wavlm.py); "auto" = flash on TPU for T >=
-    # flash_min_len (the measured crossover), einsum otherwise; "ring" =
-    # sequence-parallel ring attention (parallel/ring_attention.py) — only
-    # valid inside shard_map with the time axis sharded over ``ring_axis``
-    # (driven by parallel.wavlm_sp.wavlm_forward_sp).
+    # ops/pallas/flash_wavlm.py); "ring" = sequence-parallel ring attention
+    # (parallel/ring_attention.py) — only valid inside shard_map with the
+    # time axis sharded over ``ring_axis`` (driven by
+    # parallel.wavlm_sp.wavlm_forward_sp).
+    #
+    # "auto" picks einsum unless the einsum path's [B, H, T, T] score
+    # tensors would blow the HBM budget — full-model measurements on v5e
+    # (scripts/bench_extractors.py, fetch-barrier timings) show XLA's
+    # fused einsum path beating the Pallas kernel at every regime that
+    # FITS: T=2999 B=1 bf16 10.4 vs 7.7 clips/s, f32 7.3 vs 6.5, B=8 bf16
+    # 18.4 vs 7.4 (the kernel runs ~7% MXU — tile-granularity overhead).
+    # Round-1's "2.4x at T=3072" came from a kernel-isolated microbench
+    # whose einsum baseline was pinned to Precision.HIGHEST
+    # (scripts/bench_flash.py) — not the production einsum path. Flash's
+    # real role on one chip is lifting the O(T^2) memory cap (B=8 bf16
+    # einsum needs ~4.6 GB of scores at T=3000, ~18 GB at T=6000) — and
+    # being the basis of the ring/SP path, which shards T across chips.
     attention_impl: str = "auto"
-    flash_min_len: int = 1024
+    # switch auto -> flash when scores+probs would exceed this many bytes
+    flash_score_budget: int = 8 << 30
     flash_block: int = 128
     ring_axis: str = "data"
 
@@ -192,9 +205,14 @@ class WavLMAttention(nn.Module):
 
         impl = cfg.attention_impl
         if impl == "auto":
+            # einsum unless its [B, H, T, T] scores+probs would overflow
+            # the HBM budget (see the config comment: measured on v5e,
+            # XLA's einsum wins wherever it fits)
+            score_bytes = 2 * B * H * T * T * jnp.dtype(cfg.dtype).itemsize
             impl = (
                 "flash"
-                if T >= cfg.flash_min_len and jax.default_backend() == "tpu"
+                if score_bytes > cfg.flash_score_budget
+                and jax.default_backend() == "tpu"
                 else "einsum"
             )
 
