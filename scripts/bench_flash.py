@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """TPU microbench + parity: factored-bias flash attention vs einsum path.
 
-Run on the real chip. Prints per-T timings and verifies numerics at the
-smallest T. The einsum path is O(T^2) HBM ([B,H,T,T] scores + gated bias);
-the kernel is O(T) — past a few thousand frames the einsum path stops
-fitting/beating, which is exactly WavLM's long-clip regime
-(extract/audio.py frame-budget fallback)."""
+SCOPE CAVEAT (round-2): this measures the attention op in ISOLATION with
+``jax_default_matmul_precision=highest`` (so the parity check compares
+f32-exact numerics) — that also pins the einsum baseline to the slow
+highest-precision MXU passes. The production einsum path runs at default
+precision inside the full model, where it beats the kernel at every
+regime that fits in HBM (scripts/bench_extractors.py long_* rows). Use
+this script for kernel parity and kernel-only iteration; use
+bench_extractors.py for the real crossover. The kernel's production role
+is the O(T) memory cap lift past WavLMConfig.flash_score_budget."""
 
 import os
 import sys
