@@ -139,7 +139,10 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     from sdumc_tpu.models.generation import beam_generate_batched
     from sdumc_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 
-    cfg = LlamaConfig(max_position_embeddings=prompt + new)  # 7B defaults
+    # scan_layers: one compiled layer body instead of 32 — the unrolled
+    # 7B beam program OOMs the AOT compiler's HBM accounting; scan is also
+    # the production layout (models/llama.py)
+    cfg = LlamaConfig(max_position_embeddings=prompt + new, scan_layers=True)
     model = LlamaForCausalLM(cfg)
     n_params = (
         cfg.vocab_size * cfg.hidden_size * 2  # embed + lm_head

@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--prompt", type=int, default=128)
     p.add_argument("--new", type=int, default=64)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--scan", action="store_true", default=False,
+                   help="scan-over-layers trunk (the 7B-scale layout)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -48,10 +50,22 @@ def main(argv=None):
         intermediate_size=args.intermediate, num_layers=args.layers,
         num_heads=args.heads,
         max_position_embeddings=args.prompt + args.new,
-        dtype=jnp.bfloat16)
+        dtype=jnp.bfloat16, scan_layers=args.scan)
     model = LlamaForCausalLM(cfg)
-    params = jax.jit(lambda k: model.init(
-        k, input_ids=jnp.zeros((1, 8), jnp.int32)))(jax.random.PRNGKey(0))["params"]
+    # random params directly in bf16: flax init would materialize f32
+    # (2x the HBM — at 7B that alone overflows the chip)
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), input_ids=jnp.zeros((1, 8), jnp.int32)))["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def make_params(key):
+        ks = jax.random.split(key, len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef, [0.02 * jax.random.normal(k, l.shape, jnp.bfloat16)
+                      for k, l in zip(ks, leaves)])
+
+    params = make_params(jax.random.PRNGKey(0))
 
     # params MUST be a jit argument, not a closure: closed-over arrays are
     # baked into the HLO as constants (gigabytes at 7B; remote-compile

@@ -77,3 +77,23 @@ def load_hf_llama(model_dir: str):
     cfg = config_from_hf(hf.config)
     params = hf_llama_to_params(hf.state_dict())
     return cfg, params
+
+
+def stack_scan_layers(params: dict) -> dict:
+    """Convert an unrolled param tree (``layers_0`` .. ``layers_{L-1}``)
+    into the scan layout (one ``layers`` subtree, leading [L] axis on every
+    leaf) that LlamaConfig(scan_layers=True) expects. Works on the trunk
+    subtree or a full LlamaForCausalLM tree (``model`` wrapper)."""
+    import jax
+
+    if "model" in params:
+        out = dict(params)
+        out["model"] = stack_scan_layers(params["model"])
+        return out
+    n = 1 + max(int(k.split("_")[1]) for k in params if k.startswith("layers_"))
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+        *[params[f"layers_{i}"] for i in range(n)])
+    out = {k: v for k, v in params.items() if not k.startswith("layers_")}
+    out["layers"] = stacked
+    return out

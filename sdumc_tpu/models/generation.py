@@ -40,6 +40,10 @@ class BeamState(NamedTuple):
 
 
 def _gather_caches(caches, beam_idx):
+    if isinstance(caches, dict):
+        # stacked scan-layers layout: [num_layers, beams, ...]
+        return {"k": caches["k"][:, beam_idx], "v": caches["v"][:, beam_idx],
+                "index": caches["index"]}
     return tuple(
         {"k": c["k"][beam_idx], "v": c["v"][beam_idx], "index": c["index"]}
         for c in caches
@@ -113,7 +117,8 @@ def beam_generate(
     )
     slot = jnp.broadcast_to(jnp.arange(P)[None], (B, P))
     out = apply_fn(inputs_embeds=prompt_b, positions=pos,
-                   attn_mask=_slot_mask(slot, max_len, offset), caches=caches)
+                   attn_mask=_slot_mask(slot, max_len, offset), caches=caches,
+                   last_logit_only=True)
     caches = out["caches"]
     logp = jax.nn.log_softmax(out["logits"][:, -1].astype(jnp.float32), axis=-1)
 

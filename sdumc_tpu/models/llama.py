@@ -41,6 +41,14 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     max_position_embeddings: int = 4096
     dtype: Any = jnp.bfloat16
+    # lax.scan over layers instead of a python unroll: the compiled HLO
+    # shrinks ~num_layers-fold (one layer body compiled once) — at 7B the
+    # unrolled beam-decode program is large enough to kill slow/limited
+    # compilers, and scan is how production JAX LLMs ship. Param layout
+    # changes: one "layers" subtree with a leading [num_layers] axis on
+    # every leaf (convert.hf_llama stacks; parallel.sharding understands
+    # the stacked paths). Numerics identical to the unroll (test_llama).
+    scan_layers: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -147,6 +155,9 @@ class LlamaMLP(nn.Module):
 
 class LlamaLayer(nn.Module):
     cfg: LlamaConfig
+    # scan mode: also emit this layer's hidden state as a scanned output
+    # (the per-layer taps the feat4 extractor harvests)
+    collect_hidden: bool = False
 
     @nn.compact
     def __call__(self, x, positions, mask, cache=None):
@@ -156,6 +167,8 @@ class LlamaLayer(nn.Module):
         x = x + h
         x = x + LlamaMLP(self.cfg, name="mlp")(
             RMSNorm(self.cfg.rms_eps, name="post_attention_layernorm")(x))
+        if self.collect_hidden:
+            return x, (new_cache, x)
         return x, new_cache
 
 
@@ -188,14 +201,36 @@ class LlamaModel(nn.Module):
             attn_mask = jnp.where(causal, 0.0, -1e30)[None, None]
 
         hidden_states = [x] if output_hidden_states else None
-        new_caches = [] if caches is not None else None
-        for i in range(c.num_layers):
-            cache_i = caches[i] if caches is not None else None
-            x, nc = LlamaLayer(c, name=f"layers_{i}")(x, positions, attn_mask, cache_i)
-            if caches is not None:
-                new_caches.append(nc)
+        if c.scan_layers:
+            cache_ax = 0 if caches is not None else nn.broadcast
+            Scan = nn.scan(
+                LlamaLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast, cache_ax),
+                out_axes=0,
+                length=c.num_layers,
+            )
+            x, ys = Scan(c, collect_hidden=output_hidden_states,
+                         name="layers")(x, positions, attn_mask, caches)
             if output_hidden_states:
-                hidden_states.append(x)
+                new_caches, hs_stack = ys
+                hidden_states += [hs_stack[i] for i in range(c.num_layers)]
+            else:
+                new_caches = ys
+            if caches is None:
+                new_caches = None
+        else:
+            new_caches = [] if caches is not None else None
+            for i in range(c.num_layers):
+                cache_i = caches[i] if caches is not None else None
+                x, nc = LlamaLayer(c, name=f"layers_{i}")(x, positions, attn_mask, cache_i)
+                if caches is not None:
+                    new_caches.append(nc)
+                if output_hidden_states:
+                    hidden_states.append(x)
+            if new_caches is not None:
+                new_caches = tuple(new_caches)
         x = RMSNorm(c.rms_eps, name="norm")(x)
         # HF convention: the LAST entry of hidden_states is post-final-norm
         if output_hidden_states:
@@ -203,7 +238,7 @@ class LlamaModel(nn.Module):
         return {
             "last_hidden_state": x,
             "hidden_states": tuple(hidden_states) if output_hidden_states else None,
-            "caches": tuple(new_caches) if new_caches is not None else None,
+            "caches": new_caches,
         }
 
     def embed_only(self, input_ids):
@@ -220,17 +255,29 @@ class LlamaForCausalLM(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, **kw):
+    def __call__(self, last_logit_only: bool = False, **kw):
+        """``last_logit_only`` computes logits for the FINAL position only:
+        decode prefill needs just the next-token distribution, and the full
+        [B, T, vocab] f32 logits are ~2 GB at 7B/beam-4/T=128 — enough to
+        OOM a 16 GB chip that already holds the weights."""
         out = LlamaModel(self.cfg, name="model")(**kw)
-        logits = _dense(self.cfg.vocab_size, "lm_head", jnp.float32)(
-            out["last_hidden_state"]
-        )
-        out["logits"] = logits
+        h = out["last_hidden_state"]
+        if last_logit_only:
+            h = h[:, -1:]
+        out["logits"] = _dense(self.cfg.vocab_size, "lm_head", jnp.float32)(h)
         return out
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
     dtype = dtype or cfg.dtype
+    if cfg.scan_layers:
+        # one stacked cache with a leading layer axis, scanned by the model
+        L = cfg.num_layers
+        return {
+            "k": jnp.zeros((L, batch, max_len, cfg.kv_heads, cfg.head_dim), dtype),
+            "v": jnp.zeros((L, batch, max_len, cfg.kv_heads, cfg.head_dim), dtype),
+            "index": jnp.zeros((L,), jnp.int32),
+        }
     return tuple(
         {
             "k": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_dim), dtype),

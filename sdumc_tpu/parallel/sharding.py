@@ -71,6 +71,11 @@ def _flatten_paths(tree):
 def _spec_for(path: str, shape: Tuple[int, ...], rules, axis_size: int) -> P:
     for pattern, spec in rules:
         if re.search(pattern, path):
+            # scan-stacked layout ("layers/..." vs "layers_0/..."): every
+            # leaf carries a leading [num_layers] axis that stays
+            # replicated; the rule's spec applies to the trailing dims
+            if re.search(r"(^|/)layers/", path):
+                spec = P(None, *spec)
             if len(spec) > len(shape):
                 return P()
             for dim, name in zip(shape, spec):
