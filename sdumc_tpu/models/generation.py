@@ -39,6 +39,22 @@ class BeamState(NamedTuple):
     done: jnp.ndarray            # bool
 
 
+def _broadcast_caches(caches, B):
+    """Replicate single-stream prefill caches across the beam axis (all
+    beams share the prompt, so prefilling once and broadcasting is
+    compute- and memory-cheaper than prefilling B identical streams and
+    gathering)."""
+    if isinstance(caches, dict):  # stacked scan-layers layout [L, 1, ...]
+        rep = lambda c, ax: jnp.repeat(c, B, axis=ax)  # noqa: E731
+        return {"k": rep(caches["k"], 1), "v": rep(caches["v"], 1),
+                "index": caches["index"]}
+    return tuple(
+        {"k": jnp.repeat(c["k"], B, axis=0), "v": jnp.repeat(c["v"], B, axis=0),
+         "index": c["index"]}
+        for c in caches
+    )
+
+
 def _gather_caches(caches, beam_idx):
     if isinstance(caches, dict):
         # stacked scan-layers layout: [num_layers, beams, ...]
@@ -108,21 +124,22 @@ def beam_generate(
         prompt_len = jnp.int32(P)
     offset = P - prompt_len  # left-pad slots, 0 for exact-length prompts
 
-    # ---- prefill (prompt hidden states are not tapped — reference [1:])
-    caches = init_cache(cfg, B, max_len)
-    prompt_b = jnp.broadcast_to(prompt_embeds, (B, P, D))
+    # ---- prefill (prompt hidden states are not tapped — reference [1:]).
+    # One stream, not B: every beam shares the prompt, so the B-stream
+    # prefill would compute and store B identical cache sets (at 7B the
+    # extra copies are the difference between fitting one chip and not).
+    caches = init_cache(cfg, 1, max_len)
     # RoPE positions: pad slots clamp to 0 (their K/V never enter a key set)
-    pos = jnp.broadcast_to(
-        jnp.maximum(jnp.arange(P)[None] - offset, 0), (B, P)
-    )
-    slot = jnp.broadcast_to(jnp.arange(P)[None], (B, P))
-    out = apply_fn(inputs_embeds=prompt_b, positions=pos,
+    pos = jnp.maximum(jnp.arange(P)[None] - offset, 0)
+    slot = jnp.arange(P)[None]
+    out = apply_fn(inputs_embeds=prompt_embeds[:1], positions=pos,
                    attn_mask=_slot_mask(slot, max_len, offset), caches=caches,
                    last_logit_only=True)
-    caches = out["caches"]
+    caches = _broadcast_caches(out["caches"], B)
     logp = jax.nn.log_softmax(out["logits"][:, -1].astype(jnp.float32), axis=-1)
 
-    # HF init: only beam 0 counts on the first selection
+    # HF init: only beam 0 counts on the first selection ([1, V] logp
+    # broadcasts over the beam axis)
     init_bias = jnp.where(jnp.arange(B) == 0, 0.0, NEG)
     scores0 = logp + init_bias[:, None]                     # [B, V]
     V = scores0.shape[-1]
@@ -142,7 +159,8 @@ def beam_generate(
         last_tokens=tokens0,
         beam_scores=top_vals,
         tokens=tokens,
-        caches=_gather_caches(caches, beam_idx0),
+        # no gather: every beam's prefill cache is identical by construction
+        caches=caches,
         taps=jnp.zeros((max_new_tokens, D), jnp.float32),
         hyp_scores=jnp.full((B,), NEG, jnp.float32),
         hyp_tokens=jnp.full((B, max_new_tokens), eos_id, jnp.int32),

@@ -264,7 +264,12 @@ class LlamaForCausalLM(nn.Module):
         h = out["last_hidden_state"]
         if last_logit_only:
             h = h[:, -1:]
-        out["logits"] = _dense(self.cfg.vocab_size, "lm_head", jnp.float32)(h)
+        # matmul in the model dtype, result in f32: a f32-dtype Dense would
+        # materialize a f32 COPY of the [D, vocab] kernel (524 MB at 7B —
+        # the difference between fitting and OOMing one v5e chip); HF fp16
+        # checkpoints likewise matmul in half precision
+        logits = _dense(self.cfg.vocab_size, "lm_head", self.cfg.dtype)(h)
+        out["logits"] = logits.astype(jnp.float32)
         return out
 
 
