@@ -152,20 +152,14 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
         + cfg.hidden_size)
     weight_gb = n_params * 2 / 1e9
 
+    from jax.experimental.layout import Format, Layout
+
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
                            input_ids=jnp.zeros((1, 8), jnp.int32)))["params"]
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-
-    @jax.jit
-    def make_params(key):
-        ks = jax.random.split(key, len(leaves))
-        return jax.tree_util.tree_unflatten(
-            treedef, [0.02 * jax.random.normal(k, l.shape, jnp.bfloat16)
-                      for k, l in zip(ks, leaves)])
-
-    params = make_params(jax.random.PRNGKey(2))
-    jax.block_until_ready(params)
+    param_structs = jax.tree_util.tree_unflatten(
+        treedef, [jax.ShapeDtypeStruct(l.shape, jnp.bfloat16) for l in leaves])
 
     def gen_fn(p, pe, pl):
         apply_fn = lambda **kw: model.apply({"params": p}, **kw)  # noqa: E731
@@ -174,12 +168,39 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
             apply_fn, pe, cfg, embed_fn=embed_fn, prompt_len=pl,
             num_beams=4, max_new_tokens=new, eos_id=-1)  # eos never fires
 
+    # AUTO input layouts: with default (row-major) param layouts XLA
+    # relays the stacked q/k/v weights as ~1 GB temps INSIDE the program
+    # (3 GB of copies — the difference between 7B fitting one v5e chip and
+    # OOMing). Letting layout assignment pick the INPUT layouts moves the
+    # relayout to parameter load time, where it belongs.
+    gen1 = jax.jit(gen_fn, in_shardings=(Format(Layout.AUTO), None, None))
+    pe1 = jax.ShapeDtypeStruct((batches[0], prompt, cfg.hidden_size), jnp.float32)
+    pl1 = jax.ShapeDtypeStruct((batches[0],), jnp.int32)
+    compiled1 = gen1.lower(param_structs, pe1, pl1).compile()
+    param_formats = compiled1.input_formats[0][0]
+    fmt_leaves = treedef.flatten_up_to(param_formats)
+
+    # materialize the random bf16 weights leaf-by-leaf straight into the
+    # chosen layout (building all 13.5 GB in default layout first and
+    # re-laying would need 2x HBM)
+    key = jax.random.PRNGKey(2)
+    laid = []
+    for l, fmt in zip(leaves, fmt_leaves):
+        key, sub = jax.random.split(key)
+        arr = jax.jit(
+            lambda k, shape=l.shape: 0.02 * jax.random.normal(k, shape, jnp.bfloat16)
+        )(sub)
+        laid.append(jax.device_put(arr, fmt))
+        arr.delete()
+    params = jax.tree_util.tree_unflatten(treedef, laid)
+
     rng = np.random.default_rng(0)
     out: dict = {"shape": "7B (h4096 L32 MHA32, vocab 32k) bf16",
                  "weight_gb": round(weight_gb, 2),
                  "prompt": prompt, "new_tokens": new, "per_batch": {}}
-    gen = jax.jit(gen_fn)
     for C in batches:
+        gen = (gen1 if C == batches[0] else
+               jax.jit(gen_fn, in_shardings=(param_formats, None, None)))
         kv_gb = (cfg.num_layers * 2 * (C * 4) * (prompt + new)
                  * cfg.hidden_size * 2) / 1e9
         try:
