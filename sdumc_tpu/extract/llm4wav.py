@@ -237,14 +237,24 @@ def main(argv=None):
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree over the mesh model "
                              "axis for the generate graphs")
+    parser.add_argument("--scan_layers", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="lax.scan over decoder layers (stacked params):"
+                             " ~32x smaller decode HLO at 7B, numerics "
+                             "identical (tests/test_llama_scan.py)")
     args = parser.parse_args(argv)
+
+    import dataclasses
 
     import transformers
 
-    from sdumc_tpu.convert.hf_llama import load_hf_llama
+    from sdumc_tpu.convert.hf_llama import load_hf_llama, stack_scan_layers
     from sdumc_tpu.extract.projector import load_projector
 
     cfg, params = load_hf_llama(args.llm_dir)
+    if args.scan_layers:
+        cfg = dataclasses.replace(cfg, scan_layers=True)
+        params = stack_scan_layers(params)
     tokenizer = transformers.AutoTokenizer.from_pretrained(args.llm_dir)
     projector_params = load_projector(args.projector_path)
     extractor = Feat4Extractor(
