@@ -199,7 +199,9 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
                  "weight_gb": round(weight_gb, 2),
                  "prompt": prompt, "new_tokens": new, "per_batch": {}}
     for C in batches:
-        gen = (gen1 if C == batches[0] else
+        # the AUTO-lowered jit wrapper refuses concrete arrays — call its
+        # compiled executable; later batch sizes pin the concrete formats
+        gen = (compiled1 if C == batches[0] else
                jax.jit(gen_fn, in_shardings=(param_formats, None, None)))
         kv_gb = (cfg.num_layers * 2 * (C * 4) * (prompt + new)
                  * cfg.hidden_size * 2) / 1e9
