@@ -131,7 +131,7 @@ def bench_wavlm(reps: int = 12) -> dict:
 
 
 def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
-                reps: int = 2) -> dict:
+                reps: int = 2, quant: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -142,24 +142,38 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     # scan_layers: one compiled layer body instead of 32 — the unrolled
     # 7B beam program OOMs the AOT compiler's HBM accounting; scan is also
     # the production layout (models/llama.py)
-    cfg = LlamaConfig(max_position_embeddings=prompt + new, scan_layers=True)
+    cfg = LlamaConfig(max_position_embeddings=prompt + new, scan_layers=True,
+                      quant=quant)
     model = LlamaForCausalLM(cfg)
-    n_params = (
-        cfg.vocab_size * cfg.hidden_size * 2  # embed + lm_head
-        + cfg.num_layers * (4 * cfg.hidden_size ** 2
-                            + 3 * cfg.hidden_size * cfg.intermediate_size
-                            + 2 * cfg.hidden_size)
-        + cfg.hidden_size)
-    weight_gb = n_params * 2 / 1e9
+    n_dense = cfg.num_layers * (4 * cfg.hidden_size ** 2
+                                + 3 * cfg.hidden_size * cfg.intermediate_size)
+    n_other = (cfg.vocab_size * cfg.hidden_size  # embed (lm_head is a Dense)
+               + cfg.num_layers * 2 * cfg.hidden_size + cfg.hidden_size)
+    n_lm_head = cfg.vocab_size * cfg.hidden_size
+    if quant == "int8":
+        weight_gb = ((n_dense + n_lm_head) * 1 + n_other * 2) / 1e9
+    else:
+        weight_gb = (n_dense + n_lm_head + n_other) * 2 / 1e9
 
     from jax.experimental.layout import Format, Layout
 
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
                            input_ids=jnp.zeros((1, 8), jnp.int32)))["params"]
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    paths = ["/".join(getattr(k, "key", str(k)) for k in p) for p, _ in flat]
+    leaves = [l for _, l in flat]
+
+    def bench_dtype(path, leaf):
+        # quant kernels stay int8 (that's the point), their scales f32;
+        # everything else benches in bf16 (init default is f32)
+        if leaf.dtype == jnp.int8 or path.endswith("kernel_scale"):
+            return leaf.dtype
+        return jnp.bfloat16
+
     param_structs = jax.tree_util.tree_unflatten(
-        treedef, [jax.ShapeDtypeStruct(l.shape, jnp.bfloat16) for l in leaves])
+        treedef, [jax.ShapeDtypeStruct(l.shape, bench_dtype(p, l))
+                  for p, l in zip(paths, leaves)])
 
     def gen_fn(p, pe, pl):
         apply_fn = lambda **kw: model.apply({"params": p}, **kw)  # noqa: E731
@@ -180,22 +194,30 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     param_formats = compiled1.input_formats[0][0]
     fmt_leaves = treedef.flatten_up_to(param_formats)
 
-    # materialize the random bf16 weights leaf-by-leaf straight into the
-    # chosen layout (building all 13.5 GB in default layout first and
-    # re-laying would need 2x HBM)
+    # materialize the random weights leaf-by-leaf straight into the chosen
+    # layout (building all 13.5 GB in default layout first and re-laying
+    # would need 2x HBM); int8 leaves draw uniform levels + realistic scale
     key = jax.random.PRNGKey(2)
     laid = []
-    for l, fmt in zip(leaves, fmt_leaves):
+    for path, l, fmt in zip(paths, leaves, fmt_leaves):
         key, sub = jax.random.split(key)
-        arr = jax.jit(
-            lambda k, shape=l.shape: 0.02 * jax.random.normal(k, shape, jnp.bfloat16)
-        )(sub)
+        if l.dtype == jnp.int8:
+            make = lambda k, shape=l.shape: jax.random.randint(  # noqa: E731
+                k, shape, -127, 128, jnp.int32).astype(jnp.int8)
+        elif path.endswith("kernel_scale"):
+            make = lambda k, shape=l.shape: jnp.full(  # noqa: E731
+                shape, 0.02 / 127, jnp.float32)
+        else:
+            make = lambda k, shape=l.shape: 0.02 * jax.random.normal(  # noqa: E731
+                k, shape, jnp.bfloat16)
+        arr = jax.jit(make)(sub)
         laid.append(jax.device_put(arr, fmt))
         arr.delete()
     params = jax.tree_util.tree_unflatten(treedef, laid)
 
     rng = np.random.default_rng(0)
-    out: dict = {"shape": "7B (h4096 L32 MHA32, vocab 32k) bf16",
+    out: dict = {"shape": "7B (h4096 L32 MHA32, vocab 32k) "
+                          + ("int8 weight-only" if quant == "int8" else "bf16"),
                  "weight_gb": round(weight_gb, 2),
                  "prompt": prompt, "new_tokens": new, "per_batch": {}}
     for C in batches:
@@ -261,6 +283,11 @@ def main(argv=None):
     if not args.wavlm_only:
         blob["feat4"] = bench_feat4()
         print(json.dumps({"feat4": blob["feat4"]}, indent=1))
+        # weight-only int8 fast path (ops/quant.py): decode is weight-read
+        # bound, so halved bytes is the headline lever; batches that OOM in
+        # bf16 fit easily at ~7.1 GB of weights
+        blob["feat4_int8"] = bench_feat4(quant="int8")
+        print(json.dumps({"feat4_int8": blob["feat4_int8"]}, indent=1))
     with open(OUT_PATH, "w") as f:
         json.dump(blob, f, indent=1)
     print(f"wrote {OUT_PATH}")

@@ -242,7 +242,15 @@ def main(argv=None):
                         help="lax.scan over decoder layers (stacked params):"
                              " ~32x smaller decode HLO at 7B, numerics "
                              "identical (tests/test_llama_scan.py)")
+    parser.add_argument("--quant", type=str, default=None, choices=("int8",),
+                        help="weight-only int8 fast path (ops/quant.py): "
+                             "decode streams half the bytes -> ~2x tokens/s "
+                             "and 7B drops to ~7 GB; ~1%% numeric shift "
+                             "(tests/test_quant.py). Mutually exclusive "
+                             "with --tp (TP specs address bf16 kernels)")
     args = parser.parse_args(argv)
+    if args.quant and args.tp > 1:
+        parser.error("--quant cannot be combined with --tp>1")
 
     import dataclasses
 
@@ -255,6 +263,11 @@ def main(argv=None):
     if args.scan_layers:
         cfg = dataclasses.replace(cfg, scan_layers=True)
         params = stack_scan_layers(params)
+    if args.quant:
+        from sdumc_tpu.ops.quant import quantize_params
+
+        cfg = dataclasses.replace(cfg, quant=args.quant)
+        params = quantize_params(params)
     tokenizer = transformers.AutoTokenizer.from_pretrained(args.llm_dir)
     projector_params = load_projector(args.projector_path)
     extractor = Feat4Extractor(

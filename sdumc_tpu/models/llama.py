@@ -49,6 +49,12 @@ class LlamaConfig:
     # every leaf (convert.hf_llama stacks; parallel.sharding understands
     # the stacked paths). Numerics identical to the unroll (test_llama).
     scan_layers: bool = False
+    # "int8" = weight-only quantized Dense kernels (ops/quant.py): decode
+    # is weight-stream-bound, so halving weight bytes ~doubles tokens/s.
+    # Opt-in fast path — numerics shift ~1% (test_quant.py); params come
+    # from ops.quant.quantize_params over a bf16 tree. Embeddings stay
+    # full precision (gathers don't stream the table).
+    quant: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -93,7 +99,12 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
-def _dense(features, name, dtype):
+def _dense(features, name, dtype, quant=None):
+    if quant == "int8":
+        from sdumc_tpu.ops.quant import QuantDense
+
+        return QuantDense(features, dtype=dtype, name=name)
+    assert quant is None, quant
     return nn.Dense(features, use_bias=False, dtype=dtype, name=name,
                     kernel_init=nn.initializers.normal(0.02))
 
@@ -107,9 +118,9 @@ class LlamaAttention(nn.Module):
         with k/v [B, S_max, H, hd] and index — returns (out, new_cache)."""
         c = self.cfg
         B, T, _ = x.shape
-        q = _dense(c.num_heads * c.head_dim, "q_proj", c.dtype)(x)
-        k = _dense(c.kv_heads * c.head_dim, "k_proj", c.dtype)(x)
-        v = _dense(c.kv_heads * c.head_dim, "v_proj", c.dtype)(x)
+        q = _dense(c.num_heads * c.head_dim, "q_proj", c.dtype, c.quant)(x)
+        k = _dense(c.kv_heads * c.head_dim, "k_proj", c.dtype, c.quant)(x)
+        v = _dense(c.kv_heads * c.head_dim, "v_proj", c.dtype, c.quant)(x)
         q = q.reshape(B, T, c.num_heads, c.head_dim)
         k = k.reshape(B, T, c.kv_heads, c.head_dim)
         v = v.reshape(B, T, c.kv_heads, c.head_dim)
@@ -139,7 +150,7 @@ class LlamaAttention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1).astype(c.dtype)
         out = jnp.einsum("bhts,bshd->bthd", probs, v_use)
         out = out.reshape(B, T, c.num_heads * c.head_dim)
-        return _dense(c.hidden_size, "o_proj", c.dtype)(out), new_cache
+        return _dense(c.hidden_size, "o_proj", c.dtype, c.quant)(out), new_cache
 
 
 class LlamaMLP(nn.Module):
@@ -148,9 +159,9 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gate = _dense(c.intermediate_size, "gate_proj", c.dtype)(x)
-        up = _dense(c.intermediate_size, "up_proj", c.dtype)(x)
-        return _dense(c.hidden_size, "down_proj", c.dtype)(nn.silu(gate) * up)
+        gate = _dense(c.intermediate_size, "gate_proj", c.dtype, c.quant)(x)
+        up = _dense(c.intermediate_size, "up_proj", c.dtype, c.quant)(x)
+        return _dense(c.hidden_size, "down_proj", c.dtype, c.quant)(nn.silu(gate) * up)
 
 
 class LlamaLayer(nn.Module):
@@ -268,7 +279,8 @@ class LlamaForCausalLM(nn.Module):
         # materialize a f32 COPY of the [D, vocab] kernel (524 MB at 7B —
         # the difference between fitting and OOMing one v5e chip); HF fp16
         # checkpoints likewise matmul in half precision
-        logits = _dense(self.cfg.vocab_size, "lm_head", self.cfg.dtype)(h)
+        logits = _dense(self.cfg.vocab_size, "lm_head", self.cfg.dtype,
+                        self.cfg.quant)(h)
         out["logits"] = logits.astype(jnp.float32)
         return out
 

@@ -1,0 +1,94 @@
+"""Weight-only int8 quantization for the decode-bound extractor graphs.
+
+Why: autoregressive feat4 decode streams the FULL weight set from HBM every
+step (measured 478 GB/s at 7B bf16, 58% of v5e peak — bench_extractors.json),
+so tokens/s is capped by weight bytes, not FLOPs. Symmetric per-output-channel
+int8 halves those bytes: the matmul reads int8 from HBM, dequantizes in
+VMEM (XLA fuses the convert+scale into the dot), and accumulates in the
+model dtype. The reference runs the same 7B in fp16 with no quantized path
+(extract_wavlm_vicuna.py:192-196 loads fp16 and shards via dispatch_model).
+
+Opt-in (``LlamaConfig(quant="int8")`` / ``--quant int8`` on the extractor
+CLI): numerics change — per-channel symmetric int8 on LLM weights measures
+~1% relative error on hidden taps (test_quant.py pins the tolerance). The
+checkpoint-exact default stays bf16/f32.
+
+Scheme:  w[..., in, out]  ->  q = round(w / s) in int8,
+         s[..., out] = max|w| over the `in` axis / 127   (f32)
+Stacked scan-over-layers kernels [L, in, out] quantize per (layer, channel).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_kernel(w: jnp.ndarray):
+    """Symmetric per-output-channel int8: w [..., in, out] -> (q, scale)."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale[..., None, :]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kernel(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16):
+    return (q.astype(jnp.float32) * scale[..., None, :]).astype(dtype)
+
+
+def quantize_params(params: Dict[str, Any], min_ndim: int = 2) -> Dict[str, Any]:
+    """Convert a (converted-from-torch or randomly initialized) LLaMA param
+    tree into the layout ``QuantDense`` expects: every ``kernel`` leaf of a
+    bias-free Dense becomes ``kernel_q`` (int8) + ``kernel_scale`` (f32).
+
+    Embeddings (``embedding``) and norm scales pass through unchanged —
+    gathers don't stream the whole table per step, and norms are tiny.
+    Runs leaf-by-leaf under jit so a 13.5 GB tree never needs 2x HBM.
+    """
+    quant_one = jax.jit(quantize_kernel)
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if (k == "kernel" and hasattr(v, "ndim") and v.ndim >= min_ndim
+                        and "bias" not in node):
+                    q, s = quant_one(v)
+                    out["kernel_q"], out["kernel_scale"] = q, s
+                else:
+                    out[k] = walk(v)
+            return out
+        return node
+
+    return walk(params)
+
+
+import flax.linen as nn  # noqa: E402  (after jax — flax import is heavier)
+
+
+class QuantDense(nn.Module):
+    """Bias-free Dense over int8 weights + per-channel f32 scales.
+
+    Param tree: ``kernel_q`` [in, features] int8, ``kernel_scale``
+    [features] f32 — produced by :func:`quantize_params` from a regular
+    Dense ``kernel``. The matmul runs in ``dtype`` (int8 operand converted
+    in-fusion; HBM traffic stays int8), the channel scale is applied to the
+    [.., features] result."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        wq = self.param("kernel_q", nn.initializers.zeros,
+                        (in_features, self.features), jnp.int8)
+        scale = self.param("kernel_scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), wq.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())))
+        return y * scale.astype(self.dtype)

@@ -6,6 +6,11 @@ from sdumc_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
 )
 from sdumc_tpu.parallel.combined import make_tp_dp_dual_step  # noqa: F401
+from sdumc_tpu.parallel.pipeline import (  # noqa: F401
+    llama_pp_forward,
+    pipeline_apply,
+    stage_sharding,
+)
 from sdumc_tpu.parallel.sharding import (  # noqa: F401
     llama_specs,
     partition_specs,

@@ -29,23 +29,33 @@ def initialize_from_env(
     coordinator: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    shutdown_timeout_seconds: Optional[int] = None,
 ) -> tuple:
     """Call jax.distributed.initialize from args or SDUMC_* env vars.
 
     Env contract (each process): SDUMC_COORDINATOR=host:port,
     SDUMC_NUM_PROCESSES, SDUMC_PROCESS_ID. On TPU pods with the standard
     metadata these are auto-discovered and plain initialize() suffices.
-    Returns (process_index, process_count)."""
+    Returns (process_index, process_count).
+
+    ``shutdown_timeout_seconds`` (or SDUMC_SHUTDOWN_TIMEOUT) bounds how
+    long the coordination service waits for stragglers at the shutdown
+    barrier. jax's default is 300 s; on oversubscribed hosts (CI boxes
+    running N processes on < N cores) the serialized post-loop host work
+    can legitimately spread wider than that, so the harness raises it."""
     import jax
 
     coordinator = coordinator or os.environ.get("SDUMC_COORDINATOR")
     num_processes = num_processes or _int_env("SDUMC_NUM_PROCESSES")
     process_id = process_id if process_id is not None else _int_env("SDUMC_PROCESS_ID")
+    shutdown_timeout_seconds = (shutdown_timeout_seconds
+                                or _int_env("SDUMC_SHUTDOWN_TIMEOUT") or 300)
     if coordinator:
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
+            shutdown_timeout_seconds=shutdown_timeout_seconds,
         )
     else:
         jax.distributed.initialize()  # TPU pod auto-discovery

@@ -32,6 +32,10 @@ def _env():
     # persistent compile cache: repeat suite runs skip the XLA compiles
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/sdumc_jax_cache"
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    # oversubscribed hosts (nproc tasks on fewer cores) serialize the
+    # post-loop host work, spreading shutdown-barrier arrivals past jax's
+    # 300 s default — a scheduling artifact, not a sync bug
+    env["SDUMC_SHUTDOWN_TIMEOUT"] = "1500"
     return env
 
 
