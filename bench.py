@@ -378,6 +378,9 @@ def main():
         if f4:
             blob["feat4_tokens_per_sec"] = f4.get("clip_tokens_per_sec_best")
             blob["feat4_fits_single_chip"] = f4.get("fits_single_chip")
+        f4q = ext.get("feat4_int8", {})
+        if f4q:
+            blob["feat4_int8_tokens_per_sec"] = f4q.get("clip_tokens_per_sec_best")
         blob["extractor_bench_device"] = ext.get("device")
     print(json.dumps(blob))
 

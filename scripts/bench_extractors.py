@@ -253,11 +253,12 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
             out["per_batch"][str(C)] = {"error": msg, "kv_cache_gb": round(kv_gb, 2)}
             break
     fits = [c for c, v in out["per_batch"].items() if "error" not in v]
+    wlabel = "int8" if quant == "int8" else "bf16"
     out["fits_single_chip"] = (
-        f"7B bf16 ({out['weight_gb']} GB) + beam-4 KV fits one 16 GB v5e chip "
+        f"7B {wlabel} ({out['weight_gb']} GB) + beam-4 KV fits one 16 GB v5e chip "
         f"up to gen_batch={max(map(int, fits)) if fits else 0} "
         f"at {prompt + new} total positions" if fits else
-        "7B bf16 does not fit a single 16 GB v5e chip with beam-4 KV caches")
+        f"7B {wlabel} does not fit a single 16 GB v5e chip with beam-4 KV caches")
     best = max((v["clip_tokens_per_sec"]
                 for v in out["per_batch"].values() if "error" not in v),
                default=0.0)
@@ -269,6 +270,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--wavlm-only", action="store_true")
     p.add_argument("--feat4-only", action="store_true")
+    p.add_argument("--feat4-int8-only", action="store_true",
+                   help="refresh only the int8 decode section (reuses the "
+                        "cached bf16/wavlm numbers in bench_extractors.json)")
     args = p.parse_args(argv)
 
     import jax
@@ -277,6 +281,13 @@ def main(argv=None):
     if os.path.exists(OUT_PATH):
         with open(OUT_PATH) as f:
             blob.update(json.load(f))
+    if args.feat4_int8_only:
+        blob["feat4_int8"] = bench_feat4(quant="int8")
+        print(json.dumps({"feat4_int8": blob["feat4_int8"]}, indent=1))
+        with open(OUT_PATH, "w") as f:
+            json.dump(blob, f, indent=1)
+        print(f"wrote {OUT_PATH}")
+        return
     if not args.feat4_only:
         blob["wavlm"] = bench_wavlm()
         print(json.dumps({"wavlm": blob["wavlm"]}, indent=1))

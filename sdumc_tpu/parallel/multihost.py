@@ -93,3 +93,31 @@ def process_metrics(metrics):
     import jax
 
     return jax.device_get(metrics)
+
+
+def warmup_collectives(mesh=None) -> None:
+    """Create the cross-process communicator cliques while processes are
+    still in lockstep (fresh off ``initialize``'s barrier).
+
+    XLA's CPU gloo backend initializes each clique lazily at its first
+    collective, with a hard ~30 s rendezvous timeout. On hosts where
+    per-process tracing work serializes (fewer cores than processes, CI
+    boxes), a clique first touched mid-run can form while peers are >30 s
+    apart and fail spuriously. Touching both cliques here — the
+    per-process-leader clique (process_allgather) and the all-devices
+    clique (a global psum) — pins them at a point where every process is
+    synchronized, and later collectives reuse the cached contexts. On TPU
+    this is a cheap no-op barrier."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    multihost_utils.process_allgather(np.int32(0), tiled=False)
+    if mesh is not None and jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_local = mesh.devices.size // jax.process_count()
+        arr = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, PartitionSpec(mesh.axis_names)),
+            np.zeros(n_local, np.float32))
+        float(jax.jit(lambda a: a.sum())(arr))

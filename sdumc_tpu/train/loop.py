@@ -160,7 +160,10 @@ def train(
     jax.make_array_from_process_local_data, and the jitted step's grads /
     metric sums are global (parallel/multihost.py)."""
     if multihost:
-        from sdumc_tpu.parallel.multihost import host_local_batch_to_global
+        from sdumc_tpu.parallel.multihost import (host_local_batch_to_global,
+                                                  warmup_collectives)
+
+        warmup_collectives(mesh)
     guard = preemption_guard if preemption_guard is not None else PreemptionGuard()
     steps_per_epoch = max(len(train_ds) // cfg.data.batch_size, 1)
     lr_sched = make_lr_schedule(
