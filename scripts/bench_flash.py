@@ -59,7 +59,8 @@ def main():
     rel_embed = jnp.asarray(rng.normal(size=(NB, H)).astype(np.float32))
 
     flash = jax.jit(lambda q, k, v, g, kv: flash_gated_attention(
-        q, k, v, g, rel_embed, kv, num_buckets=NB, max_distance=MD))
+        q, k, v, g, rel_embed, kv, num_buckets=NB, max_distance=MD,
+        precision=jax.lax.Precision.HIGHEST))
     einsum = jax.jit(lambda q, k, v, g, kv: einsum_path(
         q, k, v, g, rel_embed, kv))
 

@@ -73,7 +73,12 @@ class WavLMConfig:
     attention_impl: str = "auto"
     # switch auto -> flash when scores+probs would exceed this many bytes
     flash_score_budget: int = 8 << 30
-    flash_block: int = 128
+    # 0 = auto: 512 for 2-byte dtypes, 256 for f32 — the measured optima
+    # of the head-packed kernel on v5e (ops/pallas/flash_wavlm.py sweep:
+    # bf16 blk 128/256/512 = 7.2/13.6/18.0 TF/s; f32 128/256 = 6.1/11.1).
+    # Bigger blocks amortize Mosaic per-step overhead and double-buffered
+    # bias-tile DMA; the tile table grows O(T*blk*H) and stays <100 MB.
+    flash_block: int = 0
     ring_axis: str = "data"
 
     @staticmethod
@@ -86,6 +91,12 @@ class WavLMConfig:
                     num_buckets=40, max_bucket_distance=100)
         base.update(kw)
         return WavLMConfig(**base)
+
+    def resolved_flash_block(self) -> int:
+        """flash_block=0 resolves to the measured per-dtype optimum."""
+        if self.flash_block:
+            return self.flash_block
+        return 512 if jnp.dtype(self.dtype).itemsize == 2 else 256
 
     def output_length(self, n_samples: int) -> int:
         t = n_samples
@@ -242,9 +253,10 @@ class WavLMAttention(nn.Module):
             # construction x24 saved); the [H, T, T] tensor is never built
             from sdumc_tpu.ops.pallas.flash_wavlm import bias_tiles_for
 
-            n_tiles = -(-T // cfg.flash_block)
+            blk = cfg.resolved_flash_block()
+            n_tiles = -(-T // blk)
             position_bias = (rel_embed, bias_tiles_for(
-                rel_embed, n_tiles, cfg.flash_block,
+                rel_embed, n_tiles, blk,
                 cfg.num_buckets, cfg.max_bucket_distance))
 
         # --- gru_rel_pos gating of the shared bias
@@ -294,7 +306,7 @@ class WavLMAttention(nn.Module):
                 tiles_carry,                            # shared across layers
                 num_buckets=cfg.num_buckets,
                 max_distance=cfg.max_bucket_distance,
-                block=cfg.flash_block,
+                block=cfg.resolved_flash_block(),
                 interpret=jax.default_backend() != "tpu",
             ).reshape(B, T, D)
             return nn.Dense(D, name="out_proj")(out), position_bias

@@ -4,6 +4,7 @@ time axis sharded over the ring, K/V blocks rotated with ppermute, gated
 rel-pos bias regenerated per block offset."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
