@@ -113,9 +113,17 @@ class LlamaAttention(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, positions, mask, cache=None):
+    def __call__(self, x, positions, mask, cache=None, layer_idx=None):
         """x: [B, T, D]; mask: [B, 1, T, S] additive; cache: optional dict
-        with k/v [B, S_max, H, hd] and index — returns (out, new_cache)."""
+        with k/v [B, S_max, H, hd] and index — returns (out, new_cache).
+
+        Stacked-cache mode (scan trunk): ``cache["k"]`` is the FULL
+        [L, B, S_max, H, hd] stack and ``layer_idx`` the traced layer
+        number. The update writes this layer's new slot directly into the
+        stack — a [1, B, T, H, hd]-sized dynamic_update_slice that XLA
+        keeps in place on the scan carry — instead of materializing a
+        per-layer cache copy as a scanned output (at 7B decode that copy
+        was 2x the whole KV cache of extra HBM traffic per step)."""
         c = self.cfg
         B, T, _ = x.shape
         q = _dense(c.num_heads * c.head_dim, "q_proj", c.dtype, c.quant)(x)
@@ -127,7 +135,23 @@ class LlamaAttention(nn.Module):
         q = rope(q, positions, c.rope_theta)
         k = rope(k, positions, c.rope_theta)
 
-        if cache is not None:
+        if cache is not None and cache["k"].ndim == 5:
+            assert layer_idx is not None
+            idx = cache["index"][layer_idx]
+            k_stack = jax.lax.dynamic_update_slice(
+                cache["k"], k[None].astype(cache["k"].dtype),
+                (layer_idx, 0, idx, 0, 0))
+            v_stack = jax.lax.dynamic_update_slice(
+                cache["v"], v[None].astype(cache["v"].dtype),
+                (layer_idx, 0, idx, 0, 0))
+            new_cache = {"k": k_stack, "v": v_stack,
+                         "index": cache["index"].at[layer_idx].add(T)}
+            # slice reads fuse into the attention consumers (no copy-out)
+            k_use = jax.lax.dynamic_index_in_dim(
+                k_stack, layer_idx, 0, keepdims=False)
+            v_use = jax.lax.dynamic_index_in_dim(
+                v_stack, layer_idx, 0, keepdims=False)
+        elif cache is not None:
             idx = cache["index"]
             k_all = jax.lax.dynamic_update_slice(
                 cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0))
@@ -144,11 +168,29 @@ class LlamaAttention(nn.Module):
             k_use = jnp.repeat(k_use, rep, axis=2)
             v_use = jnp.repeat(v_use, rep, axis=2)
 
-        scores = jnp.einsum("bthd,bshd->bhts", q, k_use).astype(jnp.float32)
-        scores = scores / jnp.sqrt(c.head_dim).astype(jnp.float32)
-        scores = scores + mask
-        probs = jax.nn.softmax(scores, axis=-1).astype(c.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", probs, v_use)
+        if T == 1 and cache is not None:
+            # decode step: the einsum form lowers to B*H batched
+            # [1, hd] x [hd, S] dots — 1-row MXU passes whose per-pass
+            # overhead dominates (measured ~2 ms per extra beam row at 7B).
+            # The multiply-reduce form runs on the VPU and fuses into the
+            # K/V cache stream, which decode attention is bound by anyway.
+            scores = jnp.sum(
+                q.astype(jnp.float32) * k_use.astype(jnp.float32), axis=-1
+            )                                                  # [B, S, H]
+            scores = jnp.transpose(scores, (0, 2, 1))[:, :, None, :]
+            scores = scores / jnp.sqrt(c.head_dim).astype(jnp.float32)
+            scores = scores + mask
+            probs = jax.nn.softmax(scores, axis=-1)            # [B, H, 1, S]
+            pv = jnp.transpose(probs[:, :, 0, :], (0, 2, 1))   # [B, S, H]
+            out = jnp.sum(pv[..., None] * v_use.astype(jnp.float32),
+                          axis=1).astype(c.dtype)              # [B, H, hd]
+            out = out[:, None]                                 # [B, 1, H, hd]
+        else:
+            scores = jnp.einsum("bthd,bshd->bhts", q, k_use).astype(jnp.float32)
+            scores = scores / jnp.sqrt(c.head_dim).astype(jnp.float32)
+            scores = scores + mask
+            probs = jax.nn.softmax(scores, axis=-1).astype(c.dtype)
+            out = jnp.einsum("bhts,bshd->bthd", probs, v_use)
         out = out.reshape(B, T, c.num_heads * c.head_dim)
         return _dense(c.hidden_size, "o_proj", c.dtype, c.quant)(out), new_cache
 
@@ -172,14 +214,29 @@ class LlamaLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, mask, cache=None):
+        """Unrolled mode: x [B, T, D], per-layer ``cache`` dict.
+        Scan-carry mode (nn.scan trunk): x is the carry tuple
+        ``(h, stacked_caches_or_None, layer_idx)`` — the stacked caches
+        ride the CARRY (updated in place via LlamaAttention's stacked
+        path) rather than being scanned in/out, and the scanned output is
+        just this layer's hidden state (or () when not collected)."""
+        if isinstance(x, tuple):
+            h, caches, li = x
+            out, new_caches = self._block(h, positions, mask, caches, li)
+            if caches is None:
+                new_caches = None
+            return ((out, new_caches, li + 1),
+                    out if self.collect_hidden else ())
+        out, new_cache = self._block(x, positions, mask, cache, None)
+        return out, new_cache
+
+    def _block(self, x, positions, mask, cache, layer_idx):
         h, new_cache = LlamaAttention(self.cfg, name="self_attn")(
             RMSNorm(self.cfg.rms_eps, name="input_layernorm")(x),
-            positions, mask, cache)
+            positions, mask, cache, layer_idx)
         x = x + h
         x = x + LlamaMLP(self.cfg, name="mlp")(
             RMSNorm(self.cfg.rms_eps, name="post_attention_layernorm")(x))
-        if self.collect_hidden:
-            return x, (new_cache, x)
         return x, new_cache
 
 
@@ -213,24 +270,23 @@ class LlamaModel(nn.Module):
 
         hidden_states = [x] if output_hidden_states else None
         if c.scan_layers:
-            cache_ax = 0 if caches is not None else nn.broadcast
+            # stacked caches ride the scan CARRY (in-place slot updates, no
+            # per-layer cache copy-out — see LlamaAttention); the only
+            # scanned output is the optional per-layer hidden stack
             Scan = nn.scan(
                 LlamaLayer,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast, nn.broadcast, cache_ax),
+                in_axes=(nn.broadcast, nn.broadcast),
                 out_axes=0,
                 length=c.num_layers,
             )
-            x, ys = Scan(c, collect_hidden=output_hidden_states,
-                         name="layers")(x, positions, attn_mask, caches)
+            carry, ys = Scan(c, collect_hidden=output_hidden_states,
+                             name="layers")((x, caches, jnp.int32(0)),
+                                            positions, attn_mask)
+            x, new_caches, _ = carry
             if output_hidden_states:
-                new_caches, hs_stack = ys
-                hidden_states += [hs_stack[i] for i in range(c.num_layers)]
-            else:
-                new_caches = ys
-            if caches is None:
-                new_caches = None
+                hidden_states += [ys[i] for i in range(c.num_layers)]
         else:
             new_caches = [] if caches is not None else None
             for i in range(c.num_layers):
