@@ -83,13 +83,12 @@ def extract_audio_features(
         return run_p(params, batch, frame_mask)
 
     # Frame-budget batching keeps the einsum path (O(B*T^2) memory for the
-    # [B,H,T,T] gated bias) inside HBM. attention_impl="auto" stays on the
-    # XLA einsum path wherever its score tensors fit (measured faster than
-    # the flash kernel at every fitting regime, see WavLMConfig) and
-    # switches to the factored-bias flash kernel (O(T) HBM,
-    # ops/pallas/flash_wavlm.py) past cfg.flash_score_budget — extreme
-    # clips no longer need tiny batches, and the reference's
-    # 51-longest-clip deletion stays unnecessary at ANY length.
+    # [B,H,T,T] gated bias) inside HBM. attention_impl="auto" runs XLA's
+    # einsum for short clips and the factored-bias flash kernel (O(T)
+    # HBM, ops/pallas/flash_wavlm.py) from cfg.flash_min_frames up —
+    # measured faster at every long regime (WavLMConfig comment) —
+    # so extreme clips need neither tiny batches nor the reference's
+    # 51-longest-clip deletion, at ANY length.
     frame_budget = batch_size * cfg.output_length(buckets[1])
     order = np.argsort([len(w) for w in wavs], kind="stable")
     results: List = [None] * len(wavs)

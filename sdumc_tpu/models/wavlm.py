@@ -58,20 +58,25 @@ class WavLMConfig:
     # time axis sharded over ``ring_axis`` (driven by
     # parallel.wavlm_sp.wavlm_forward_sp).
     #
-    # "auto" picks einsum unless the einsum path's [B, H, T, T] score
-    # tensors would blow the HBM budget — full-model measurements on v5e
-    # (scripts/bench_extractors.py, fetch-barrier timings) show XLA's
-    # fused einsum path beating the Pallas kernel at every regime that
-    # FITS: T=2999 B=1 bf16 10.4 vs 7.7 clips/s, f32 7.3 vs 6.5, B=8 bf16
-    # 18.4 vs 7.4 (the kernel runs ~7% MXU — tile-granularity overhead).
-    # Round-1's "2.4x at T=3072" came from a kernel-isolated microbench
-    # whose einsum baseline was pinned to Precision.HIGHEST
-    # (scripts/bench_flash.py) — not the production einsum path. Flash's
-    # real role on one chip is lifting the O(T^2) memory cap (B=8 bf16
-    # einsum needs ~4.6 GB of scores at T=3000, ~18 GB at T=6000) — and
-    # being the basis of the ring/SP path, which shards T across chips.
+    # "auto" picks einsum for short clips and flash for long ones.
+    # Full-model measurements on v5e (scripts/bench_extractors.py) with
+    # the head-packed kernel (blk 512/256): flash beats einsum at every
+    # long regime — T=2999 B=1 bf16 15.4 vs 10.4 clips/s (1.49x), f32
+    # 11.7 vs 7.3 (1.61x), B=8 bf16 19.6 vs 18.5 — while einsum still
+    # wins the bulk regime (T~500, where attention is a small slice and
+    # the kernel's tile padding hurts). The crossover knob is sequence
+    # length, NOT score bytes: einsum's win shrinks as T grows and its
+    # [B, H, T, T] scores eventually blow HBM outright (~4.6 GB at B=8
+    # T=3000 bf16, ~18 GB at T=6000) — flash lifts that cap and is the
+    # basis of the ring/SP path, which shards T across chips.
     attention_impl: str = "auto"
-    # switch auto -> flash when scores+probs would exceed this many bytes
+    # auto -> flash when T >= this many frames (~31 s of 16 kHz audio;
+    # the measured T=499 einsum-wins / T=2999 flash-wins bracket puts the
+    # crossover between — provisional midpoint, sweepable with
+    # scripts/bench_extractors.py) ...
+    flash_min_frames: int = 1536
+    # ... or when scores+probs would exceed this many bytes (hard memory
+    # trigger, independent of the speed crossover)
     flash_score_budget: int = 8 << 30
     # 0 = auto: 512 for 2-byte dtypes, 256 for f32 — the measured optima
     # of the head-packed kernel on v5e (ops/pallas/flash_wavlm.py sweep:
@@ -216,13 +221,14 @@ class WavLMAttention(nn.Module):
 
         impl = cfg.attention_impl
         if impl == "auto":
-            # einsum unless its [B, H, T, T] scores+probs would overflow
-            # the HBM budget (see the config comment: measured on v5e,
-            # XLA's einsum wins wherever it fits)
+            # flash for long clips (speed crossover, see config comment)
+            # and whenever einsum's [B, H, T, T] scores+probs would
+            # overflow the HBM budget; einsum otherwise
             score_bytes = 2 * B * H * T * T * jnp.dtype(cfg.dtype).itemsize
             impl = (
                 "flash"
-                if score_bytes > cfg.flash_score_budget
+                if (T >= cfg.flash_min_frames
+                    or score_bytes > cfg.flash_score_budget)
                 and jax.default_backend() == "tpu"
                 else "einsum"
             )
