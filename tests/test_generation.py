@@ -132,6 +132,7 @@ def test_bucketed_prompt_matches_exact_length(setup, seed, bucket):
         rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # >20 s on this 1-core host; full suite still runs it
 def test_batched_generate_matches_solo_runs(setup):
     """beam_generate_batched (vmap lockstep over clips, extract/llm4wav.py
     --gen_batch) must give every clip exactly its solo-run tokens/taps even

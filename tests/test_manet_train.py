@@ -1,5 +1,7 @@
 """MANet trainer smoke: the two-head beta loss + SGD step learn."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -26,6 +28,7 @@ def test_two_head_loss_matches_torch_semantics():
     assert 0.0 <= float(acc) <= 1.0
 
 
+@pytest.mark.slow  # >20 s on this 1-core host; full suite still runs it
 def test_train_step_reduces_loss():
     model = MANet(MANetConfig(layers=(1, 1, 1, 1), num_classes=3))
     rng = np.random.default_rng(1)

@@ -3,6 +3,8 @@ artifacts (sdumc_tpu/serve/export.py) must reproduce the live jitted eval
 after save -> load in a fresh object, including bucket dispatch and
 partial-batch padding."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -28,6 +30,7 @@ def _model_and_params():
     return model, params
 
 
+@pytest.mark.slow  # >20 s on this 1-core host; full suite still runs it
 def test_serving_bundle_roundtrip(tmp_path):
     model, params = _model_and_params()
     B = 4

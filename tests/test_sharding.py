@@ -5,6 +5,8 @@ batch sharded over the `data` axis, XLA inserts the grad all-reduce. The DP
 step must match the single-device step bit-for-bit (it is the same math).
 """
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -55,6 +57,7 @@ def test_mesh_construction():
     assert mesh2.shape == {"data": 4, "model": 2}
 
 
+@pytest.mark.slow  # >20 s on this 1-core host; full suite still runs it
 def test_dp_train_step_matches_single_device():
     model, params, batch_np, T = _setup()
     step = make_train_step(model, LossConfig())

@@ -111,6 +111,7 @@ def _adam_golden():
     return out
 
 
+@pytest.mark.slow  # >20 s on this 1-core host; full suite still runs it
 def test_adam_step_parity_with_torch():
     """One full dual-view training step (dropout off) must move params the
     same way torch Adam(l2=1e-5) does under the reference loss (main:148).
@@ -158,6 +159,7 @@ def test_adam_step_parity_with_torch():
         np.testing.assert_allclose(np.asarray(node), ref_val, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow  # >20 s on this 1-core host; full suite still runs it
 def test_training_decreases_loss():
     """Smoke: 30 steps on a learnable synthetic task shrink the loss."""
     cfg = ModelConfig(input_dims=(16, 32, 16), general_dim=32, layers=(32, 16), fused_layers=(32, 32))

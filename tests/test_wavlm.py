@@ -68,6 +68,7 @@ def test_output_length_matches_hf_and_shapes():
     assert out["last_hidden_state"].shape == (1, cfg.output_length(n), cfg.hidden_size)
 
 
+@pytest.mark.slow  # >20 s on this 1-core host; full suite still runs it
 def test_batched_masked_extraction_matches_single():
     """Zero-padding + frame mask must reproduce per-clip extraction — the
     TPU replacement for the reference's one-wav-at-a-time loop."""
