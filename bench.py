@@ -381,6 +381,9 @@ def main():
         f4q = ext.get("feat4_int8", {})
         if f4q:
             blob["feat4_int8_tokens_per_sec"] = f4q.get("clip_tokens_per_sec_best")
+        f4w = ext.get("feat4_w8a8", {})
+        if f4w:
+            blob["feat4_w8a8_tokens_per_sec"] = f4w.get("clip_tokens_per_sec_best")
         blob["extractor_bench_device"] = ext.get("device")
     print(json.dumps(blob))
 

@@ -32,7 +32,7 @@ sys.path.insert(0, REPO)
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--quant", default="int8", choices=["int8", "none"])
+    p.add_argument("--quant", default="int8", choices=["int8", "w8a8", "none"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--prompt", type=int, default=128)
     p.add_argument("--new", type=int, default=48)

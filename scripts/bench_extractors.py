@@ -150,7 +150,7 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     n_other = (cfg.vocab_size * cfg.hidden_size  # embed (lm_head is a Dense)
                + cfg.num_layers * 2 * cfg.hidden_size + cfg.hidden_size)
     n_lm_head = cfg.vocab_size * cfg.hidden_size
-    if quant == "int8":
+    if quant in ("int8", "w8a8"):
         weight_gb = ((n_dense + n_lm_head) * 1 + n_other * 2) / 1e9
     else:
         weight_gb = (n_dense + n_lm_head + n_other) * 2 / 1e9
@@ -217,7 +217,8 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
 
     rng = np.random.default_rng(0)
     out: dict = {"shape": "7B (h4096 L32 MHA32, vocab 32k) "
-                          + ("int8 weight-only" if quant == "int8" else "bf16"),
+                          + {"int8": "int8 weight-only", "w8a8": "w8a8"}.get(
+                              quant, "bf16"),
                  "weight_gb": round(weight_gb, 2),
                  "prompt": prompt, "new_tokens": new, "per_batch": {}}
     for C in batches:
@@ -253,7 +254,7 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
             out["per_batch"][str(C)] = {"error": msg, "kv_cache_gb": round(kv_gb, 2)}
             break
     fits = [c for c, v in out["per_batch"].items() if "error" not in v]
-    wlabel = "int8" if quant == "int8" else "bf16"
+    wlabel = quant or "bf16"
     out["fits_single_chip"] = (
         f"7B {wlabel} ({out['weight_gb']} GB) + beam-4 KV fits one 16 GB v5e chip "
         f"up to gen_batch={max(map(int, fits)) if fits else 0} "
@@ -298,6 +299,9 @@ def main(argv=None):
         # bound, so halved bytes is the headline lever; batches that OOM in
         # bf16 fit easily at ~7.1 GB of weights
         blob["feat4_int8"] = bench_feat4(quant="int8")
+        # w8a8: same weights, dynamic activation int8 + native int8 MXU
+        # dots — no per-step dequant VPU work on the critical path
+        blob["feat4_w8a8"] = bench_feat4(quant="w8a8")
         print(json.dumps({"feat4_int8": blob["feat4_int8"]}, indent=1))
     with open(OUT_PATH, "w") as f:
         json.dump(blob, f, indent=1)

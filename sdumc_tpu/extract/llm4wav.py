@@ -242,12 +242,17 @@ def main(argv=None):
                         help="lax.scan over decoder layers (stacked params):"
                              " ~32x smaller decode HLO at 7B, numerics "
                              "identical (tests/test_llama_scan.py)")
-    parser.add_argument("--quant", type=str, default=None, choices=("int8",),
-                        help="weight-only int8 fast path (ops/quant.py): "
+    parser.add_argument("--quant", type=str, default=None,
+                        choices=("int8", "w8a8"),
+                        help="int8 = weight-only fast path (ops/quant.py): "
                              "decode streams half the bytes -> ~2x tokens/s "
                              "and 7B drops to ~7 GB; ~1%% numeric shift "
-                             "(tests/test_quant.py). Mutually exclusive "
-                             "with --tp (TP specs address bf16 kernels)")
+                             "(tests/test_quant.py). w8a8 additionally "
+                             "quantizes activations per-row and runs native "
+                             "int8xint8 MXU dots (no per-step dequant VPU "
+                             "work; slightly larger numeric shift). Mutually "
+                             "exclusive with --tp (TP specs address bf16 "
+                             "kernels)")
     args = parser.parse_args(argv)
     if args.quant and args.tp > 1:
         parser.error("--quant cannot be combined with --tp>1")

@@ -51,9 +51,13 @@ class LlamaConfig:
     scan_layers: bool = False
     # "int8" = weight-only quantized Dense kernels (ops/quant.py): decode
     # is weight-stream-bound, so halving weight bytes ~doubles tokens/s.
-    # Opt-in fast path — numerics shift ~1% (test_quant.py); params come
-    # from ops.quant.quantize_params over a bf16 tree. Embeddings stay
-    # full precision (gathers don't stream the table).
+    # "w8a8" additionally quantizes activations per-row and runs native
+    # int8 x int8 MXU dots — no per-step dequant VPU work (at 7B decode
+    # the weight-only path converts ~7e9 int8 weights per step on the
+    # VPU). Opt-in fast paths — numerics shift ~1% (int8) / ~1-2% (w8a8)
+    # (test_quant.py); params come from ops.quant.quantize_params over a
+    # bf16 tree (same tree for both modes). Embeddings stay full
+    # precision (gathers don't stream the table).
     quant: Optional[str] = None
 
     @property
@@ -100,10 +104,11 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 
 def _dense(features, name, dtype, quant=None):
-    if quant == "int8":
+    if quant in ("int8", "w8a8"):
         from sdumc_tpu.ops.quant import QuantDense
 
-        return QuantDense(features, dtype=dtype, name=name)
+        return QuantDense(features, dtype=dtype, name=name,
+                          act_quant=quant == "w8a8")
     assert quant is None, quant
     return nn.Dense(features, use_bias=False, dtype=dtype, name=name,
                     kernel_init=nn.initializers.normal(0.02))

@@ -74,12 +74,28 @@ class QuantDense(nn.Module):
 
     Param tree: ``kernel_q`` [in, features] int8, ``kernel_scale``
     [features] f32 — produced by :func:`quantize_params` from a regular
-    Dense ``kernel``. The matmul runs in ``dtype`` (int8 operand converted
-    in-fusion; HBM traffic stays int8), the channel scale is applied to the
-    [.., features] result."""
+    Dense ``kernel``.
+
+    Two compute modes:
+
+    * ``act_quant=False`` (weight-only, the ``quant="int8"`` default):
+      the matmul runs in ``dtype`` — the int8 operand is converted
+      in-fusion, HBM traffic stays int8, and the channel scale is
+      applied to the [.., features] result. The conversion itself is
+      VPU work proportional to the weight count (at 7B decode ~7e9
+      converts per step), which weight-stream-bound decode pays on its
+      critical path.
+    * ``act_quant=True`` (``quant="w8a8"``): activations are quantized
+      per-row (dynamic symmetric int8 — rows are tokens, tiny next to
+      the weights) and the dot runs NATIVE int8 x int8 -> int32 on the
+      MXU (2x the bf16 rate on v5e, zero dequant VPU work); the result
+      is rescaled by act_scale x kernel_scale. Numerics shift further
+      than weight-only (~1-2% on hidden taps, test_quant.py pins it) —
+      opt-in for the decode-bound extractor graphs."""
 
     features: int
     dtype: Any = jnp.bfloat16
+    act_quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -88,6 +104,17 @@ class QuantDense(nn.Module):
                         (in_features, self.features), jnp.int8)
         scale = self.param("kernel_scale", nn.initializers.ones,
                            (self.features,), jnp.float32)
+        if self.act_quant:
+            absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                             keepdims=True)
+            x_scale = jnp.maximum(absmax, 1e-8) / 127.0      # [.., 1] f32
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                          -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * x_scale * scale
+            return y.astype(self.dtype)
         y = jax.lax.dot_general(
             x.astype(self.dtype), wq.astype(self.dtype),
             (((x.ndim - 1,), (0,)), ((), ())))

@@ -103,3 +103,40 @@ def test_quantized_beam_decode_runs(tiny_pair):
     assert int(np.asarray(got["n_steps"]).max()) == 6
     # taps exist and are finite — the harvested feat4 stream stays usable
     assert np.isfinite(np.asarray(got["taps"], np.float32)).all()
+
+
+def test_w8a8_forward_close_to_full_precision(tiny_pair):
+    """quant="w8a8": dynamic per-row activation int8 + native int8xint8
+    dot. Numerics drift a bit past weight-only (two quantizers) but must
+    stay within the same usability envelope."""
+    cfg, model, params, _, _, qparams, ids = tiny_pair
+    wcfg = LlamaConfig.tiny(scan_layers=True, quant="w8a8")
+    wmodel = LlamaForCausalLM(wcfg)
+    ref = model.apply({"params": params}, input_ids=ids,
+                      output_hidden_states=True)
+    got = wmodel.apply({"params": qparams}, input_ids=ids,
+                       output_hidden_states=True)
+    rel = float(jnp.linalg.norm(got["last_hidden_state"] - ref["last_hidden_state"])
+                / jnp.linalg.norm(ref["last_hidden_state"]))
+    assert rel < 0.08, rel
+    agree = float(jnp.mean(
+        (jnp.argmax(ref["logits"], -1) == jnp.argmax(got["logits"], -1))))
+    assert agree > 0.7, agree
+
+
+def test_w8a8_beam_decode_runs(tiny_pair):
+    from sdumc_tpu.models.generation import beam_generate_batched
+
+    cfg, model, params, _, _, qparams, _ = tiny_pair
+    wcfg = LlamaConfig.tiny(scan_layers=True, quant="w8a8")
+    wmodel = LlamaForCausalLM(wcfg)
+    rng = np.random.default_rng(4)
+    pe = jnp.asarray(rng.normal(size=(2, 10, cfg.hidden_size)).astype(np.float32) * 0.1)
+    lens = jnp.asarray([10, 7], jnp.int32)
+    apply_fn = lambda **kw: wmodel.apply({"params": qparams}, **kw)  # noqa: E731
+    embed_fn = lambda t: qparams["model"]["embed_tokens"]["embedding"][t]  # noqa: E731
+    got = jax.jit(lambda p: beam_generate_batched(
+        apply_fn, pe, wcfg, embed_fn=embed_fn, prompt_len=lens,
+        num_beams=4, max_new_tokens=6, eos_id=-1))(qparams)
+    assert int(np.asarray(got["n_steps"]).max()) == 6
+    assert np.isfinite(np.asarray(got["taps"], np.float32)).all()
