@@ -5,6 +5,7 @@
     python -m sdumc_tpu.cli.extract feat4   --llm_dir ... --projector_path ... --wavlm_dir ... --save_dir ...
     python -m sdumc_tpu.cli.extract visual  --checkpoint ... --face_dir ... --save_dir ...
     python -m sdumc_tpu.cli.extract vision  --model_dir ... --face_dir ... --save_dir ...
+    python -m sdumc_tpu.cli.extract asr     --model_dir ... --audio_dir ... --save_csv ...
     python -m sdumc_tpu.cli.extract pack    --src_dir ... --out_prefix ...
 
 Each stage mirrors a reference extraction script (see extract/ module
@@ -33,6 +34,9 @@ def main(argv=None):
     elif stage == "vision":
         # CLIP/ImageNet alternative visual encoders (extract/vision_hf.py)
         from sdumc_tpu.extract.vision_hf import main as run
+    elif stage == "asr":
+        # Whisper wav -> transcription.csv (the ASR text-variant recipes)
+        from sdumc_tpu.extract.asr import main as run
     elif stage == "manet_train":
         from sdumc_tpu.extract.manet_train import main as run
     elif stage == "pack":
