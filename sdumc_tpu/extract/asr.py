@@ -24,14 +24,61 @@ from __future__ import annotations
 import argparse
 import csv
 import os
-from typing import List
+from typing import List, Tuple
 
 import numpy as np
 
 
+def energy_vad(wav: np.ndarray, sr: int = 16000, frame_ms: int = 20,
+               threshold_db: float = 12.0, min_voice_ms: int = 200,
+               min_gap_ms: int = 300, pad_ms: int = 100) -> List[Tuple[int, int]]:
+    """Energy-based voice activity detection -> [(start, end)] in samples.
+
+    The reference's ASR feature names carry a ``_vad`` suffix
+    (``-gt(base.en_vad)``): transcription ran on voiced segments, not the
+    raw clip. A frame is voiced when its RMS energy sits ``threshold_db``
+    above the clip's noise floor (10th-percentile frame energy); voiced
+    runs shorter than ``min_voice_ms`` are dropped, gaps shorter than
+    ``min_gap_ms`` merged, and ``pad_ms`` of context kept on each side.
+    Returns the whole clip when nothing clears the floor (silence-only
+    clips still get transcribed — matching the robust-extractor policy)."""
+    hop = sr * frame_ms // 1000
+    n = len(wav) // hop
+    if n == 0:
+        return [(0, len(wav))]
+    frames = wav[: n * hop].reshape(n, hop)
+    db = 10.0 * np.log10(np.mean(frames ** 2, axis=1) + 1e-10)
+    floor = np.percentile(db, 10.0)
+    voiced = db > floor + threshold_db
+    segs: List[Tuple[int, int]] = []
+    start = None
+    for i, v in enumerate(voiced):
+        if v and start is None:
+            start = i
+        elif not v and start is not None:
+            segs.append((start, i))
+            start = None
+    if start is not None:
+        segs.append((start, n))
+    # merge close segments, drop micro-bursts
+    merged: List[Tuple[int, int]] = []
+    gap = max(1, min_gap_ms // frame_ms)
+    for s, e in segs:
+        if merged and s - merged[-1][1] <= gap:
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+    keep = max(1, min_voice_ms // frame_ms)
+    pad = max(0, pad_ms // frame_ms)
+    out = [(max(0, s - pad) * hop, min(n, e + pad) * hop)
+           for s, e in merged if e - s >= keep]
+    return out or [(0, len(wav))]
+
+
 def transcribe_dir(model_dir: str, audio_dir: str, save_csv: str,
                    batch: int = 8, max_new_tokens: int = 200,
-                   language_column: str = "english") -> List[tuple]:
+                   language_column: str = "english",
+                   vad: bool = False) -> List[tuple]:
     import jax
     import jax.numpy as jnp
 
@@ -69,27 +116,39 @@ def transcribe_dir(model_dir: str, audio_dir: str, save_csv: str,
 
     names = sorted(os.path.splitext(f)[0] for f in os.listdir(audio_dir)
                    if f.endswith(".wav"))
-    rows = []
-    for i in range(0, len(names), batch):
-        group = names[i:i + batch]
-        mels = []
-        for n in group:
-            # 16 kHz mono wavs — the preprocess pipeline's clip-split output
-            # (preprocess/cmumosei.py)
-            wav = read_wav(os.path.join(audio_dir, n + ".wav"))
-            mels.append(np.asarray(
-                log_mel_spectrogram(wav, n_mels=cfg.num_mel_bins)))
+    # work items: (clip name, segment order, wav slice) — with --vad each
+    # voiced segment decodes as its own row (the recipe's _vad suffix),
+    # then segments re-join in order per clip
+    items = []
+    for n in names:
+        # 16 kHz mono wavs — the preprocess pipeline's clip-split output
+        # (preprocess/cmumosei.py)
+        wav = read_wav(os.path.join(audio_dir, n + ".wav"))
+        spans = energy_vad(wav) if vad else [(0, len(wav))]
+        for j, (s, e) in enumerate(spans):
+            items.append((n, j, wav[s:e]))
+
+    pieces: dict = {}
+    for i in range(0, len(items), batch):
+        group = items[i:i + batch]
+        mels = [np.asarray(log_mel_spectrogram(w, n_mels=cfg.num_mel_bins))
+                for _, _, w in group]
         # partial tail batch: pad with silence rows so the one compiled
         # program serves every batch; extra rows are dropped
-        while len(mels) < batch and len(names) > batch:
+        while len(mels) < batch and len(items) > batch:
             mels.append(np.zeros_like(mels[0]))
         out = run(jnp.asarray(np.stack(mels)))
         toks = np.asarray(out["tokens"])
-        for j, n in enumerate(group):
+        for j, (n, seg, _) in enumerate(group):
             ids = [int(t) for t in toks[j][:int(out["n_tokens"][j])]]
             text = tok.decode(ids, skip_special_tokens=True).strip()
-            rows.append((n, text))
-            print(f"{n}: {text}")
+            pieces.setdefault(n, []).append((seg, text))
+
+    rows = []
+    for n in names:
+        text = " ".join(t for _, t in sorted(pieces.get(n, [])) if t).strip()
+        rows.append((n, text))
+        print(f"{n}: {text}")
 
     os.makedirs(os.path.dirname(save_csv) or ".", exist_ok=True)
     with open(save_csv, "w", newline="", encoding="utf-8") as f:
@@ -107,9 +166,13 @@ def main(argv=None):
     p.add_argument("--save_csv", required=True)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max_new_tokens", type=int, default=200)
+    p.add_argument("--vad", action="store_true",
+                   help="energy VAD: transcribe voiced segments and join "
+                        "(the reference recipes' _vad suffix)")
     args = p.parse_args(argv)
     transcribe_dir(args.model_dir, args.audio_dir, args.save_csv,
-                   batch=args.batch, max_new_tokens=args.max_new_tokens)
+                   batch=args.batch, max_new_tokens=args.max_new_tokens,
+                   vad=args.vad)
 
 
 if __name__ == "__main__":

@@ -197,3 +197,25 @@ def test_asr_pipeline_tokens_match_hf(setup):
                 break
             hf_core.append(int(t))
         assert [int(t) for t in toks[b][:len(hf_core)]] == hf_core, b
+
+
+def test_energy_vad_finds_bursts():
+    """Synthetic silence + two tone bursts -> two segments covering the
+    bursts; pure silence -> whole clip (robust-extractor fallback)."""
+    from sdumc_tpu.extract.asr import energy_vad
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=sr * 6).astype(np.float32) * 1e-4  # noise floor
+    t1 = np.arange(sr)
+    wav[sr:2 * sr] += 0.3 * np.sin(2 * np.pi * 220 * t1 / sr)
+    wav[4 * sr:5 * sr] += 0.3 * np.sin(2 * np.pi * 330 * t1 / sr)
+    segs = energy_vad(wav, sr=sr)
+    assert len(segs) == 2
+    (s0, e0), (s1, e1) = segs
+    assert s0 <= sr <= 2 * sr <= e0 + sr // 5
+    assert s1 <= 4 * sr <= 5 * sr <= e1 + sr // 5
+    assert e0 < 4 * sr  # the 2 s gap is NOT merged
+
+    silent = rng.normal(size=sr).astype(np.float32) * 1e-5
+    assert energy_vad(silent, sr=sr) == [(0, len(silent))]
