@@ -81,12 +81,13 @@ def main(argv=None):
     import jax
 
     from sdumc_tpu.core.metrics import eval_mosei_metric
-    from sdumc_tpu.data.pipeline import build_loaders
+    from sdumc_tpu.data.pipeline import get_loaders
     from sdumc_tpu.parallel import make_mesh
     from sdumc_tpu.train.loop import run_eval
     from sdumc_tpu.train.step import make_eval_step
 
-    train_ds, eval_ds, test_ds = build_loaders(cfg.data, cfg.paths, synthetic=args.synthetic)
+    train_ds, eval_ds, test_ds = get_loaders(cfg.data.dataset, cfg.data, cfg.paths,
+                                              synthetic=args.synthetic)
     model, params = build_model_and_params(cfg, train_ds.input_dims(), args.checkpoint)
     mesh = make_mesh(cfg.mesh.data_parallel, cfg.mesh.model_parallel) if len(jax.devices()) > 1 else None
 

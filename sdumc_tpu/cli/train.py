@@ -52,12 +52,13 @@ def main(argv=None):
 
     import jax
 
-    from sdumc_tpu.data.pipeline import build_loaders
+    from sdumc_tpu.data.pipeline import get_loaders
     from sdumc_tpu.parallel import make_mesh
     from sdumc_tpu.train.loop import train
 
     print("====== Reading Data =======")
-    train_ds, eval_ds, test_ds = build_loaders(cfg.data, cfg.paths, synthetic=args.synthetic)
+    train_ds, eval_ds, test_ds = get_loaders(cfg.data.dataset, cfg.data, cfg.paths,
+                                              synthetic=args.synthetic)
     input_dims = train_ds.input_dims()
     print(f"train: {len(train_ds)}  val: {len(eval_ds)}  test: {len(test_ds)}; dims {input_dims}")
 

@@ -250,3 +250,33 @@ def build_loaders(cfg: DataConfig, paths: PathsConfig, *, synthetic: bool = Fals
                 names, labels = names[:100], labels[:100]
         datasets.append(MoseiDataset(names, labels, sources, cfg.feat_scale))
     return tuple(datasets)
+
+
+# ---------------------------------------------------------------------------
+# Dataset registry dispatch (reference toolkit/dataloader/__init__.py:15-39)
+# ---------------------------------------------------------------------------
+#
+# The reference's get_dataloaders dispatches dataset names through a
+# hardcoded map whose IEMOCAP/MER2023/SIMS/MELD entries import files
+# stripped from the snapshot, and routes DIM_DATASET/DIS_DATASET names to
+# CROSSDIM/CROSSDIS cross-corpus loaders that are stubs there too
+# (:31-36). Here the same dispatch runs through core.registry.DATASETS:
+# MOSEI/MOSI register below (they share the npz-label + npy-feature
+# contract), and a cross-corpus loader is a normal registration —
+#
+#     @DATASETS.register("CROSSDIM")
+#     def build_crossdim(cfg, paths, **kw):
+#         ...  # train split from cfg.dataset_train, test from cfg.dataset_test
+#
+# — no dead imports, unknown names fail with the registered list.
+
+from sdumc_tpu.core.registry import DATASETS  # noqa: E402
+
+DATASETS.register("CMU-MOSEI", build_loaders)
+DATASETS.register("CMU-MOSI", build_loaders)
+
+
+def get_loaders(dataset: str, cfg: DataConfig, paths: PathsConfig, **kw):
+    """Name-dispatched loader construction (the reference's
+    ``get_dataloaders(args).get_loaders()`` front door)."""
+    return DATASETS.get(dataset)(cfg, paths, **kw)

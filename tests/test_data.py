@@ -170,3 +170,31 @@ def test_packed_feature_store_roundtrip(tmp_path):
         np.testing.assert_array_equal(store.get(name), arr)
         assert store.length_of(name) == len(arr)
         assert name in store
+
+
+def test_dataset_registry_dispatch():
+    """get_loaders routes names through core.registry.DATASETS (the
+    reference's get_dataloaders dispatch with its dead CROSSDIM/CROSSDIS
+    imports replaced by a live extension point)."""
+    from sdumc_tpu.core.config import DataConfig, PathsConfig
+    from sdumc_tpu.core.registry import DATASETS
+    from sdumc_tpu.data.pipeline import get_loaders
+
+    assert "CMU-MOSEI" in DATASETS and "CMU-MOSI" in DATASETS
+    tr, va, te = get_loaders("CMU-MOSEI", DataConfig(), PathsConfig(),
+                             synthetic=True, synthetic_sizes=(8, 4, 4))
+    assert (len(tr), len(va), len(te)) == (8, 4, 4)
+
+    with pytest.raises(KeyError, match="CROSSDIM"):
+        get_loaders("CROSSDIM", DataConfig(), PathsConfig())
+
+    # registering a cross-corpus loader is one decorator — verify the seam
+    @DATASETS.register("CROSSDIM-test")
+    def _crossdim(cfg, paths, **kw):
+        return ("train-from", "test-from")
+
+    try:
+        assert get_loaders("CROSSDIM-test", DataConfig(), PathsConfig()) == (
+            "train-from", "test-from")
+    finally:
+        DATASETS._entries.pop("CROSSDIM-test")
