@@ -375,6 +375,8 @@ def main():
         if wav:
             blob["wavlm_clips_per_sec"] = wav.get("bulk_bf16", {}).get("clips_per_sec")
             blob["wavlm_hbm_gbps"] = wav.get("bulk_bf16", {}).get("hbm_gbps")
+            blob["wavlm_long_clips_per_sec"] = wav.get(
+                "long8_flash_bf16", {}).get("clips_per_sec")
         if f4:
             blob["feat4_tokens_per_sec"] = f4.get("clip_tokens_per_sec_best")
             blob["feat4_fits_single_chip"] = f4.get("fits_single_chip")
