@@ -119,14 +119,24 @@ def transcribe_dir(model_dir: str, audio_dir: str, save_csv: str,
     # work items: (clip name, segment order, wav slice) — with --vad each
     # voiced segment decodes as its own row (the recipe's _vad suffix),
     # then segments re-join in order per clip
+    from sdumc_tpu.ops.mel import CHUNK_SECONDS, SAMPLE_RATE
+
+    window = CHUNK_SECONDS * SAMPLE_RATE
     items = []
     for n in names:
         # 16 kHz mono wavs — the preprocess pipeline's clip-split output
         # (preprocess/cmumosei.py)
         wav = read_wav(os.path.join(audio_dir, n + ".wav"))
         spans = energy_vad(wav) if vad else [(0, len(wav))]
-        for j, (s, e) in enumerate(spans):
-            items.append((n, j, wav[s:e]))
+        # Whisper's window is 30 s; anything longer would silently
+        # truncate (MOSEI's long tail exceeds 60 s — the clips the
+        # reference deletes). Split over-window spans into window-sized
+        # chunks; transcripts re-join in order below.
+        j = 0
+        for s, e in spans:
+            for cs in range(s, e, window):
+                items.append((n, j, wav[cs:min(cs + window, e)]))
+                j += 1
 
     pieces: dict = {}
     for i in range(0, len(items), batch):
