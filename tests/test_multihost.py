@@ -29,9 +29,14 @@ def _env():
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
-    # persistent compile cache: repeat suite runs skip the XLA compiles
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/sdumc_jax_cache"
-    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    # NO persistent compile cache here: this host's cache dir can hold AOT
+    # entries compiled for a different machine type (XLA logs "machine type
+    # ... doesn't match ... could lead to SIGILL" and recompiles anyway),
+    # so some processes hit it and some compile fresh — minutes of arrival
+    # skew at the first collective, which blows Gloo's 30 s context-init
+    # GetKeyValue window and fails the whole group. Uniform fresh compiles
+    # keep the processes aligned (they time-share the core together).
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
     # oversubscribed hosts (nproc tasks on fewer cores) serialize the
     # post-loop host work, spreading shutdown-barrier arrivals past jax's
     # 300 s default — a scheduling artifact, not a sync bug
