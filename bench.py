@@ -27,10 +27,15 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# persistent XLA compile cache: the dev tunnel compiles remotely (~minutes
-# for the train-step programs); repeat bench runs on this host skip them
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdumc_jax_cache_tpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+# persistent TPU-executable cache (the dev tunnel compiles remotely,
+# ~minutes for the train-step programs; repeat bench runs skip them).
+# NOTE: env-var config is latched before these lines run (a sitecustomize
+# imports jax at interpreter startup), so the cache dir must go through
+# jax.config, not os.environ.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sdumc_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 BATCH_SIZE = 128          # inference recipe batch (shell/..._inference.sh:5)

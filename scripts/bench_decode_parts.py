@@ -24,8 +24,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdumc_jax_cache_tpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+# persistent TPU-executable cache. NOTE: env-var config is latched before
+# these lines run (a sitecustomize imports jax at interpreter startup), so
+# the cache dir must go through jax.config, not os.environ.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sdumc_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 

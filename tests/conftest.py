@@ -14,9 +14,13 @@ import os
 # var here is too late; jax.config still works because backends initialize
 # lazily. XLA_FLAGS must land before the first CPU client is created.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# persistent XLA compile cache: repeat suite runs skip recompiles
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdumc_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+# NO persistent XLA compile cache for the CPU suite: env-var config here
+# is latched before this file runs (a sitecustomize imports jax at
+# interpreter startup), and this host's cache dir has held AOT entries
+# compiled for a DIFFERENT machine type (XLA warns "could lead to SIGILL"
+# and recompiles anyway — see test_multihost.py's _env, where mixed
+# hit/miss arrival skew broke Gloo bootstrap). Measured: no repeat-run
+# speedup on this CPU either way.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
