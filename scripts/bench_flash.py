@@ -1,15 +1,17 @@
 #!/usr/bin/env python
 """TPU microbench + parity: factored-bias flash attention vs einsum path.
 
-SCOPE CAVEAT (round-2): this measures the attention op in ISOLATION with
+SCOPE CAVEAT: this measures the attention op in ISOLATION with
 ``jax_default_matmul_precision=highest`` (so the parity check compares
 f32-exact numerics) — that also pins the einsum baseline to the slow
-highest-precision MXU passes. The production einsum path runs at default
-precision inside the full model, where it beats the kernel at every
-regime that fits in HBM (scripts/bench_extractors.py long_* rows). Use
+highest-precision MXU passes, so these ratios are NOT production. Use
 this script for kernel parity and kernel-only iteration; use
-bench_extractors.py for the real crossover. The kernel's production role
-is the O(T) memory cap lift past WavLMConfig.flash_score_budget."""
+bench_extractors.py (full model, default precision) for production
+numbers — with the head-packed kernel those show flash ahead at every
+long regime (T=2999 B=1 bf16 15.4 vs 10.4 clips/s, f32 11.7 vs 7.3,
+B=8 bf16 19.6 vs 18.5) and einsum ahead in the bulk T~500 regime. The
+auto policy's crossover knobs live in WavLMConfig (flash_min_frames /
+flash_score_budget; scripts/bench_flash_crossover.py re-places them)."""
 
 import os
 import sys
