@@ -177,25 +177,24 @@ def main(argv=None):
     finally:
         generation._gather_caches = orig_gather
 
-    # ---- no_hidden: drop the per-step hidden-state collection (the scan
-    # stacks all 32 layers' states when output_hidden_states=True); the tap
-    # write itself stays, fed from a dummy state
+    # ---- no_hidden: drop the per-step tap accumulation entirely (the
+    # production path now computes a running tap SUM in the scan carry —
+    # LlamaModel.tap_sum_layers — instead of stacking all layers); the tap
+    # write itself stays, fed from zeros
     def gen_fn_nohs(p_, pe, pl):
         apply_fn0 = lambda **kw: model.apply({"params": p_}, **kw)  # noqa: E731
 
         def apply_fn(**kw):
             R = kw["inputs_embeds"].shape[0]
-            kw.pop("output_hidden_states", None)
+            kw.pop("tap_sum_layers", None)
             out = apply_fn0(**kw)
-            # fake single hidden state so tap machinery has a target
-            out["hidden_states"] = (
-                jnp.zeros((R, 1, cfg.hidden_size), jnp.float32),)
+            out["tap_sum"] = jnp.zeros((R, 1, cfg.hidden_size), jnp.float32)
             return out
 
         embed_fn = lambda ids: p_["model"]["embed_tokens"]["embedding"][ids]  # noqa: E731
         return generation.beam_generate_batched(
             apply_fn, pe, cfg, embed_fn=embed_fn, prompt_len=pl,
-            num_beams=4, max_new_tokens=new, eos_id=-1, tap_layers=(0,))
+            num_beams=4, max_new_tokens=new, eos_id=-1)
 
     nt = jax.jit(gen_fn_nohs, in_shardings=(param_formats, None, None))
     noh = run("no_hidden", nt, params, prompts, lens)

@@ -203,14 +203,13 @@ def beam_generate_batched(
             positions=rpos,
             attn_mask=_slot_mask(rslot, max_len, roffset),
             caches=s.caches,
-            output_hidden_states=True,
+            # running tap SUM in the model (LlamaModel.tap_sum_layers,
+            # reference clamp semantics included) — stacking all
+            # num_layers hidden states per step was pure HBM traffic
+            tap_sum_layers=tuple(tap_layers),
         )
-        hs = out["hidden_states"]
-        # clamp like the reference's `inner_tuple[-4:]` slice on shallow models
-        idxs = {i % len(hs) for i in tap_layers if -len(hs) <= i < len(hs)}
         # leading beam of clip c = row c*B (top_k output is sorted)
-        tap = sum(hs[i].reshape(C, B, D)[:, 0].astype(jnp.float32)
-                  for i in sorted(idxs))                            # [C, D]
+        tap = out["tap_sum"][:, 0].reshape(C, B, D)[:, 0]           # [C, D]
         row = jnp.arange(max_new_tokens)[None, :] == (s.step - 1)[:, None]
         taps = jnp.where(jnp.logical_and(row, live[:, None])[:, :, None],
                          tap[:, None, :], s.taps)
@@ -386,11 +385,8 @@ def greedy_generate(
         out = apply_fn(inputs_embeds=embed_fn(last[:, None]),
                        positions=positions,
                        attn_mask=cache_mask(positions, max_len),
-                       caches=caches, output_hidden_states=True)
-        hs = out["hidden_states"]
-        # clamp like the reference's `inner_tuple[-4:]` slice on shallow models
-        idxs = {i % len(hs) for i in tap_layers if -len(hs) <= i < len(hs)}
-        tap = sum(hs[i][0, 0].astype(jnp.float32) for i in sorted(idxs))
+                       caches=caches, tap_sum_layers=tuple(tap_layers))
+        tap = out["tap_sum"][0, 0]
         taps = jax.lax.dynamic_update_slice(taps, tap[None, :], (step - 1, 0))
         nxt = jnp.argmax(out["logits"][:, -1], axis=-1).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))

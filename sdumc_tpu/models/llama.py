@@ -216,21 +216,29 @@ class LlamaLayer(nn.Module):
     # scan mode: also emit this layer's hidden state as a scanned output
     # (the per-layer taps the feat4 extractor harvests)
     collect_hidden: bool = False
+    # scan mode: per-layer coefficients for the RUNNING tap sum in the
+    # carry (see LlamaModel tap_sum_layers) — static tuple, len num_layers
+    collect_coeff: Optional[Tuple[float, ...]] = None
 
     @nn.compact
     def __call__(self, x, positions, mask, cache=None):
         """Unrolled mode: x [B, T, D], per-layer ``cache`` dict.
         Scan-carry mode (nn.scan trunk): x is the carry tuple
-        ``(h, stacked_caches_or_None, layer_idx)`` — the stacked caches
-        ride the CARRY (updated in place via LlamaAttention's stacked
-        path) rather than being scanned in/out, and the scanned output is
-        just this layer's hidden state (or () when not collected)."""
+        ``(h, stacked_caches_or_None, layer_idx, tap_acc_or_None)`` — the
+        stacked caches ride the CARRY (updated in place via
+        LlamaAttention's stacked path) rather than being scanned in/out,
+        ``tap_acc`` accumulates collect_coeff[li] * output, and the
+        scanned output is just this layer's hidden state (or () when not
+        collected)."""
         if isinstance(x, tuple):
-            h, caches, li = x
+            h, caches, li, tap = x
             out, new_caches = self._block(h, positions, mask, caches, li)
             if caches is None:
                 new_caches = None
-            return ((out, new_caches, li + 1),
+            if tap is not None:
+                coeff = jnp.asarray(self.collect_coeff, jnp.float32)[li]
+                tap = tap + coeff * out.astype(jnp.float32)
+            return ((out, new_caches, li + 1, tap),
                     out if self.collect_hidden else ())
         out, new_cache = self._block(x, positions, mask, cache, None)
         return out, new_cache
@@ -259,7 +267,16 @@ class LlamaModel(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,
         caches: Optional[Tuple[Dict, ...]] = None,
         output_hidden_states: bool = False,
+        tap_sum_layers: Optional[Tuple[int, ...]] = None,
     ):
+        """``tap_sum_layers``: hidden-state indices (HF convention — the
+        list is [embed, layer outputs...; last entry post-final-norm], so
+        (-4, -3, -2, -1) is the reference's feat4 tap) whose SUM is
+        returned as ``tap_sum`` [B, T, D] f32 without materializing the
+        per-layer stack — decode wants only this sum, and stacking all
+        num_layers states per step is pure HBM traffic. Equals
+        ``sum(hidden_states[i] for i in tap_sum_layers)`` exactly
+        (clamped the same way for shallow models)."""
         c = self.cfg
         embed = nn.Embed(c.vocab_size, c.hidden_size, dtype=c.dtype,
                          embedding_init=nn.initializers.normal(0.02),
@@ -273,11 +290,27 @@ class LlamaModel(nn.Module):
             causal = jnp.tril(jnp.ones((T, T), bool))
             attn_mask = jnp.where(causal, 0.0, -1e30)[None, None]
 
+        L = c.num_layers
+        tap = None
+        layer_coeff = None
+        tap_final = 0.0
+        if tap_sum_layers is not None:
+            n_hs = L + 1
+            idxs = {i % n_hs for i in tap_sum_layers if -n_hs <= i < n_hs}
+            # hs[j] = embed (j=0) | layer j-1 output (1<=j<L) | post-norm
+            # final (j=L) — the raw last-layer output never appears in hs
+            layer_coeff = tuple(
+                1.0 if (j + 1) in idxs and (j + 1) != n_hs - 1 else 0.0
+                for j in range(L))
+            tap_final = 1.0 if (n_hs - 1) in idxs else 0.0
+            tap = (1.0 if 0 in idxs else 0.0) * x.astype(jnp.float32)
+
         hidden_states = [x] if output_hidden_states else None
         if c.scan_layers:
-            # stacked caches ride the scan CARRY (in-place slot updates, no
-            # per-layer cache copy-out — see LlamaAttention); the only
-            # scanned output is the optional per-layer hidden stack
+            # stacked caches (and the optional running tap sum) ride the
+            # scan CARRY (in-place slot updates, no per-layer cache
+            # copy-out — see LlamaAttention); the only scanned output is
+            # the optional per-layer hidden stack
             Scan = nn.scan(
                 LlamaLayer,
                 variable_axes={"params": 0},
@@ -287,9 +320,10 @@ class LlamaModel(nn.Module):
                 length=c.num_layers,
             )
             carry, ys = Scan(c, collect_hidden=output_hidden_states,
-                             name="layers")((x, caches, jnp.int32(0)),
+                             collect_coeff=layer_coeff,
+                             name="layers")((x, caches, jnp.int32(0), tap),
                                             positions, attn_mask)
-            x, new_caches, _ = carry
+            x, new_caches, _, tap = carry
             if output_hidden_states:
                 hidden_states += [ys[i] for i in range(c.num_layers)]
         else:
@@ -301,15 +335,20 @@ class LlamaModel(nn.Module):
                     new_caches.append(nc)
                 if output_hidden_states:
                     hidden_states.append(x)
+                if tap is not None and layer_coeff[i]:
+                    tap = tap + x.astype(jnp.float32)
             if new_caches is not None:
                 new_caches = tuple(new_caches)
         x = RMSNorm(c.rms_eps, name="norm")(x)
         # HF convention: the LAST entry of hidden_states is post-final-norm
         if output_hidden_states:
             hidden_states[-1] = x
+        if tap is not None and tap_final:
+            tap = tap + x.astype(jnp.float32)
         return {
             "last_hidden_state": x,
             "hidden_states": tuple(hidden_states) if output_hidden_states else None,
+            "tap_sum": tap,
             "caches": new_caches,
         }
 
