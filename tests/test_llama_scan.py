@@ -116,3 +116,22 @@ def test_stacked_tp_forward_matches_replicated(setup):
     tp = jax.jit(lambda p, i: ms.apply({"params": p}, input_ids=i)["logits"])(
         sharded, ids_r)
     np.testing.assert_allclose(np.asarray(tp), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("taps", [(-4, -3, -2, -1), (-3,), (0, -1), (-9, -1)])
+def test_tap_sum_equals_stacked_hidden_sum(setup, taps):
+    """LlamaModel.tap_sum_layers must equal summing the stacked
+    hidden_states at the same (clamped) indices — scan AND unrolled —
+    including the embed entry (0), the post-norm final (-1), and the
+    shallow-model clamp (|i| > num_layers+1 drops, HF slice semantics)."""
+    cfg_u, cfg_s, model_u, model_s, params_u, params_s, ids = setup
+
+    for model, params in ((model_u, params_u), (model_s, params_s)):
+        out = model.apply({"params": params}, input_ids=ids,
+                          output_hidden_states=True,
+                          tap_sum_layers=taps)
+        hs = out["hidden_states"]
+        idxs = {i % len(hs) for i in taps if -len(hs) <= i < len(hs)}
+        want = sum(np.asarray(hs[i], np.float32) for i in sorted(idxs))
+        np.testing.assert_allclose(np.asarray(out["tap_sum"]), want,
+                                   rtol=1e-6, atol=1e-6)
