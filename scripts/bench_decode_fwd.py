@@ -25,8 +25,17 @@ from sdumc_tpu.models.llama import LlamaConfig, LlamaForCausalLM, init_cache  # 
 
 QUANT = sys.argv[1] if len(sys.argv) > 1 else "int8"
 quant = None if QUANT == "none" else QUANT
+# "unroll" anywhere in argv: unrolled trunk instead of scan-over-layers —
+# isolates the cost of the scan's per-layer dynamic-slice of the stacked
+# weights (compile is ~32x slower; measurement identical otherwise)
+SCAN = "unroll" not in sys.argv
+# optional "rows=4,32" to trim the sweep (unrolled compiles are pricey)
+ROWS = (4, 8, 16, 32)
+for a in sys.argv[1:]:
+    if a.startswith("rows="):
+        ROWS = tuple(int(x) for x in a[5:].split(","))
 P, NEW = 128, 48
-cfg = LlamaConfig(max_position_embeddings=P + NEW, scan_layers=True, quant=quant)
+cfg = LlamaConfig(max_position_embeddings=P + NEW, scan_layers=SCAN, quant=quant)
 model = LlamaForCausalLM(cfg)
 max_len = P + NEW
 
@@ -61,7 +70,7 @@ def step(p, caches, tok, R):
                       output_hidden_states=True)
     return out["logits"], out["caches"]
 
-for R in (4, 8, 16, 32):
+for R in ROWS:
     caches = init_cache(cfg, R, max_len)
     tok = jnp.zeros((R, 1), jnp.int32)
     logits, caches = step(params, caches, tok, R)

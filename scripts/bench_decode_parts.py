@@ -127,6 +127,36 @@ def main(argv=None):
         arr = jax.jit(make)(sub)
         laid.append(jax.device_put(arr, fmt))
         arr.delete()
+
+    # On this stack device_put occasionally leaves a leaf in its default
+    # layout despite the requested Format (observed on stacked int8
+    # kernels); pinning jits to requested-but-not-applied formats then
+    # fails the jit arg check, and pinning to actual-but-default formats
+    # buys a per-call in-program relayout that contaminates the ablation
+    # deltas. Force strays through a jitted identity with out_shardings
+    # (XLA relayout, reliable where the transfer path is not).
+    for i, (path, want) in enumerate(zip(paths, fmt_leaves)):
+        got = laid[i].format.layout
+        if got.major_to_minor != want.layout.major_to_minor:
+            old = laid[i]
+            laid[i] = jax.jit(lambda a: a, out_shardings=want)(old)
+            if laid[i].format.layout.major_to_minor != \
+                    want.layout.major_to_minor:
+                # Both relayout paths no-op for this leaf (observed on the
+                # stacked int8 q/k quant kernels) — keep the default
+                # layout; the pin below uses ACTUAL formats so every
+                # variant still compiles against identical inputs and the
+                # ablation deltas stay meaningful (absolute ms/step runs
+                # ~15% above the AUTO-executable production number).
+                laid[i].delete()
+                laid[i] = old
+                print(f"stray layout {path}: requested "
+                      f"{want.layout.major_to_minor}, relayout no-ops — "
+                      f"keeping {got.major_to_minor}", flush=True)
+            else:
+                old.delete()
+    param_formats = jax.tree_util.tree_unflatten(
+        treedef, [a.format for a in laid])
     params = jax.tree_util.tree_unflatten(treedef, laid)
 
     rng = np.random.default_rng(0)

@@ -43,13 +43,17 @@ def run_cfg(impl, batch, T_target, dtype):
     params = make_params(jax.random.PRNGKey(1))
     @jax.jit
     def fwd(p, w, m):
-        return model.apply({"params": p}, w, pad_mask=m, output_hidden_states=True)["hidden_states"][-5]
-    o = fwd(params, wav, mask); jax.block_until_ready(o)
+        # scalar reduce inside the program so the barrier below fetches one
+        # float (block_until_ready returns early on axon — see bench.py)
+        tap = model.apply({"params": p}, w.astype(jnp.dtype(dtype)), pad_mask=m,
+                          output_hidden_states=True)["hidden_states"][-5]
+        return jnp.sum(tap.astype(jnp.float32))
+    float(fwd(params, wav, mask))  # compile + d2h fetch barrier
     reps = 8
     t0 = time.perf_counter()
     for _ in range(reps):
         o = fwd(params, wav, mask)
-    jax.block_until_ready(o)
+    float(o)  # d2h fetch barrier
     dt = (time.perf_counter() - t0) / reps
     print(f"{impl:7s} B={batch} T={T} {np.dtype(dtype).name}: {dt*1e3:8.2f} ms  {batch/dt:7.2f} clips/s", flush=True)
     return dt

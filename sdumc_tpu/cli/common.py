@@ -87,6 +87,9 @@ def args_to_config(args) -> ExperimentConfig:
         paths=PathsConfig.from_env(args.dataset),
         data=DataConfig(
             dataset=args.dataset,
+            # reference defaults test_dataset to dataset (main:261-262)
+            train_dataset=args.train_dataset or "",
+            test_dataset=args.test_dataset or args.dataset,
             audio_feature=args.audio_feature,
             text_feature=args.text_feature,
             video_feature=args.video_feature,

@@ -60,6 +60,12 @@ class DataConfig:
     """
 
     dataset: str = "CMU-MOSEI"
+    # Cross-corpus transfer (reference --train_dataset/--test_dataset,
+    # main_frame_val_text_missing.py:214-216,261-262): when train_dataset
+    # is set, get_loaders routes to the CROSSDIM/CROSSDIS builders —
+    # train/val from train_dataset, test from test_dataset.
+    train_dataset: str = ""
+    test_dataset: str = ""
     audio_feature: str = "wavlm-large-FRA_-5"
     text_feature: str = "vicuna-7b-v1.5-FRA-wavlm2vicuna-half-gt"
     video_feature: str = "manet_FRA"

@@ -259,24 +259,64 @@ def build_loaders(cfg: DataConfig, paths: PathsConfig, *, synthetic: bool = Fals
 # The reference's get_dataloaders dispatches dataset names through a
 # hardcoded map whose IEMOCAP/MER2023/SIMS/MELD entries import files
 # stripped from the snapshot, and routes DIM_DATASET/DIS_DATASET names to
-# CROSSDIM/CROSSDIS cross-corpus loaders that are stubs there too
-# (:31-36). Here the same dispatch runs through core.registry.DATASETS:
+# CROSSDIM/CROSSDIS cross-corpus loaders whose modules are stripped too
+# (:1-8,31-36). Here the same dispatch runs through core.registry.DATASETS:
 # MOSEI/MOSI register below (they share the npz-label + npy-feature
-# contract), and a cross-corpus loader is a normal registration —
-#
-#     @DATASETS.register("CROSSDIM")
-#     def build_crossdim(cfg, paths, **kw):
-#         ...  # train split from cfg.dataset_train, test from cfg.dataset_test
-#
-# — no dead imports, unknown names fail with the registered list.
+# contract), CROSSDIM/CROSSDIS are working cross-corpus loaders, and
+# unknown names fail with the registered list — no dead imports.
 
 from sdumc_tpu.core.registry import DATASETS  # noqa: E402
 
 DATASETS.register("CMU-MOSEI", build_loaders)
 DATASETS.register("CMU-MOSI", build_loaders)
 
+# Corpus families (reference toolkit/dataloader/__init__.py:11-12):
+# DIM = dimensional (valence regression) corpora, DIS = discrete-emotion
+# corpora. Cross-corpus transfer is only defined within a family.
+DIM_DATASETS = ("CMU-MOSI", "CMUMOSI", "CMU-MOSEI", "SIMS", "SIMSv2")
+DIS_DATASETS = ("IEMOCAPFour", "IEMOCAPSix", "MER2023", "MELD")
+
+
+def build_cross(cfg: DataConfig, paths: PathsConfig, *, test_paths=None,
+                synthetic: bool = False, synthetic_sizes=(256, 64, 64)):
+    """Cross-corpus loaders (reference CROSSDIM/CROSSDIS — imported at
+    toolkit/dataloader/__init__.py:7-8 but the modules are stripped from
+    the snapshot; semantics re-derived from the dispatch at :31-36).
+
+    Train/val splits come from the train corpus (``paths``); the test
+    split comes from the test corpus (``test_paths``, derived from
+    ``cfg.test_dataset`` via the env layout when omitted). Both corpora
+    share the npz-label + npy-feature contract, so transfer needs no new
+    readers — only a second PathsConfig.
+    """
+    if test_paths is None:
+        test_paths = PathsConfig.from_env(cfg.test_dataset or cfg.dataset)
+    train, val, _ = build_loaders(
+        cfg, paths, synthetic=synthetic, synthetic_sizes=synthetic_sizes)
+    _, _, test = build_loaders(
+        cfg, test_paths, synthetic=synthetic, synthetic_sizes=synthetic_sizes)
+    return train, val, test
+
+
+DATASETS.register("CROSSDIM", build_cross)
+DATASETS.register("CROSSDIS", build_cross)
+
 
 def get_loaders(dataset: str, cfg: DataConfig, paths: PathsConfig, **kw):
     """Name-dispatched loader construction (the reference's
-    ``get_dataloaders(args).get_loaders()`` front door)."""
+    ``get_dataloaders(args).get_loaders()`` front door, incl. the
+    cross-corpus routing of toolkit/dataloader/__init__.py:31-36: setting
+    ``cfg.train_dataset`` switches to CROSSDIM/CROSSDIS by family)."""
+    if cfg.train_dataset:
+        tr = cfg.train_dataset
+        te = cfg.test_dataset or cfg.dataset
+        if tr in DIM_DATASETS:
+            assert te in DIM_DATASETS, (
+                f"cross-corpus transfer must stay within the DIM family: "
+                f"{tr} -> {te}")
+            return DATASETS.get("CROSSDIM")(cfg, paths, **kw)
+        assert tr in DIS_DATASETS and te in DIS_DATASETS, (
+            f"cross-corpus transfer must stay within the DIS family: "
+            f"{tr} -> {te}")
+        return DATASETS.get("CROSSDIS")(cfg, paths, **kw)
     return DATASETS.get(dataset)(cfg, paths, **kw)

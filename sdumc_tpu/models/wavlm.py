@@ -70,11 +70,13 @@ class WavLMConfig:
     # T=3000 bf16, ~18 GB at T=6000) — flash lifts that cap and is the
     # basis of the ring/SP path, which shards T across chips.
     attention_impl: str = "auto"
-    # auto -> flash when T >= this many frames (~31 s of 16 kHz audio;
-    # the measured T=499 einsum-wins / T=2999 flash-wins bracket puts the
-    # crossover between — provisional midpoint, sweepable with
-    # scripts/bench_extractors.py) ...
-    flash_min_frames: int = 1536
+    # auto -> flash when T >= this many frames (~26 s of 16 kHz audio).
+    # Placed by the mid-length sweep (scripts/bench_flash_crossover.py,
+    # B=4 bf16 full model on v5e): T=1000 einsum 55.7 ms vs flash
+    # 57.1 ms; T=1500 flash 92.8 vs 97.2; T=2000 flash 138.4 vs 146.7 —
+    # crossover lands in (1000, 1500), default is the block-aligned
+    # midpoint ...
+    flash_min_frames: int = 1280
     # ... or when scores+probs would exceed this many bytes (hard memory
     # trigger, independent of the speed crossover)
     flash_score_budget: int = 8 << 30

@@ -181,12 +181,13 @@ def test_dataset_registry_dispatch():
     from sdumc_tpu.data.pipeline import get_loaders
 
     assert "CMU-MOSEI" in DATASETS and "CMU-MOSI" in DATASETS
+    assert "CROSSDIM" in DATASETS and "CROSSDIS" in DATASETS
     tr, va, te = get_loaders("CMU-MOSEI", DataConfig(), PathsConfig(),
                              synthetic=True, synthetic_sizes=(8, 4, 4))
     assert (len(tr), len(va), len(te)) == (8, 4, 4)
 
-    with pytest.raises(KeyError, match="CROSSDIM"):
-        get_loaders("CROSSDIM", DataConfig(), PathsConfig())
+    with pytest.raises(KeyError, match="NOSUCH"):
+        get_loaders("NOSUCH", DataConfig(), PathsConfig())
 
     # registering a cross-corpus loader is one decorator — verify the seam
     @DATASETS.register("CROSSDIM-test")
@@ -198,3 +199,62 @@ def test_dataset_registry_dispatch():
             "train-from", "test-from")
     finally:
         DATASETS._entries.pop("CROSSDIM-test")
+
+
+def _write_corpus(root, tag, n_per_split):
+    """Tiny on-disk corpus honoring the L1->L3 contract: per-feature npy
+    dirs + a label npz with {split}_corpus dicts."""
+    import os
+
+    rng = np.random.default_rng(abs(hash(tag)) % 2**31)
+    cfg = DataConfig(
+        audio_feature="a", text_feature="t", video_feature="v",
+        feat4_feature="f4", drop_too_long_train_clips=False)
+    dims = {"a": 6, "t": 8, "v": 6, "f4": 8}
+    feat_dir = os.path.join(root, tag, "features")
+    corpora = {}
+    for split, n in zip(("train", "val", "test"), n_per_split):
+        corpus = {}
+        for i in range(n):
+            clip = f"{tag}_{split}_{i}"
+            corpus[clip] = {"emo": 0.0, "val": float(rng.uniform(-3, 3))}
+            for feat, d in dims.items():
+                os.makedirs(os.path.join(feat_dir, feat), exist_ok=True)
+                np.save(os.path.join(feat_dir, feat, clip + ".npy"),
+                        rng.normal(size=(int(rng.integers(2, 9)), d)).astype(np.float32))
+        corpora[f"{split}_corpus"] = corpus
+    label_path = os.path.join(root, tag, "labels.npz")
+    np.savez_compressed(label_path, **corpora)
+    paths = PathsConfig(features_dir=feat_dir, label_path=label_path)
+    return cfg, paths
+
+
+def test_cross_corpus_loaders(tmp_path):
+    """CROSSDIM semantics: train/val from the train corpus, test from the
+    test corpus (reference toolkit/dataloader/__init__.py:31-36; the
+    crossdim/crossdis modules are stripped from the snapshot)."""
+    from sdumc_tpu.data.pipeline import build_cross, get_loaders
+
+    cfg_a, paths_a = _write_corpus(str(tmp_path), "mosei", (6, 3, 3))
+    _, paths_b = _write_corpus(str(tmp_path), "mosi", (4, 2, 5))
+
+    tr, va, te = build_cross(cfg_a, paths_a, test_paths=paths_b)
+    assert all(n.startswith("mosei_train_") for n in tr.names)
+    assert all(n.startswith("mosei_val_") for n in va.names)
+    assert all(n.startswith("mosi_test_") for n in te.names)
+    assert (len(tr), len(va), len(te)) == (6, 3, 5)
+    # loaders serve real features from the right corpus dirs
+    b = next(iter(BatchIterator(te, 2, shuffle=False, prefetch=0, buckets=(16,))))
+    assert b.audio.shape[0] == 2 and b.names[0].startswith("mosi_test_")
+
+    # front-door routing: setting train_dataset switches to CROSSDIM
+    import dataclasses
+    cfg_x = dataclasses.replace(cfg_a, train_dataset="CMU-MOSEI",
+                                test_dataset="CMU-MOSI")
+    tr2, _, _ = get_loaders("CMU-MOSEI", cfg_x, paths_a, test_paths=paths_b)
+    assert [n for n in tr2.names] == [n for n in tr.names]
+    # family mismatch is rejected (reference asserts the same, :32-35)
+    cfg_bad = dataclasses.replace(cfg_a, train_dataset="CMU-MOSEI",
+                                  test_dataset="MELD")
+    with pytest.raises(AssertionError, match="DIM family"):
+        get_loaders("CMU-MOSEI", cfg_bad, paths_a, test_paths=paths_b)
