@@ -157,6 +157,10 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     n_lm_head = cfg.vocab_size * cfg.hidden_size
     if quant in ("int8", "w8a8"):
         weight_gb = ((n_dense + n_lm_head) * 1 + n_other * 2) / 1e9
+    elif quant == "int4":
+        # 0.5 B/weight (XLA packs two nibbles per byte) + f32 group scales
+        weight_gb = ((n_dense + n_lm_head) * (0.5 + 4 / 128)
+                     + n_other * 2) / 1e9
     else:
         weight_gb = (n_dense + n_lm_head + n_other) * 2 / 1e9
 
@@ -170,8 +174,9 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     leaves = [l for _, l in flat]
 
     def bench_dtype(path, leaf):
-        # quant kernels stay int8 (that's the point), their scales f32;
-        # everything else benches in bf16 (init default is f32)
+        # quant kernels stay int8 (that's the point — int4 mode packs two
+        # nibbles per int8 byte), their scales f32; everything else benches
+        # in bf16 (init default is f32)
         if leaf.dtype == jnp.int8 or path.endswith("kernel_scale"):
             return leaf.dtype
         return jnp.bfloat16
@@ -192,6 +197,10 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     # (3 GB of copies — the difference between 7B fitting one v5e chip and
     # OOMing). Letting layout assignment pick the INPUT layouts moves the
     # relayout to parameter load time, where it belongs.
+    # (int4 kernels arrive nibble-packed in int8 — ops/quant.py — so every
+    # leaf dtype here is int8/f32/bf16 and the AUTO+device_put flow holds
+    # for all quant modes; jnp.int4 itself cannot cross a jit boundary on
+    # this backend.)
     gen1 = jax.jit(gen_fn, in_shardings=(Format(Layout.AUTO), None, None))
     pe1 = jax.ShapeDtypeStruct((batches[0], prompt, cfg.hidden_size), jnp.float32)
     pl1 = jax.ShapeDtypeStruct((batches[0],), jnp.int32)
@@ -207,11 +216,13 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     for path, l, fmt in zip(paths, leaves, fmt_leaves):
         key, sub = jax.random.split(key)
         if l.dtype == jnp.int8:
+            # random bytes double as random packed nibbles in int4 mode
             make = lambda k, shape=l.shape: jax.random.randint(  # noqa: E731
                 k, shape, -127, 128, jnp.int32).astype(jnp.int8)
         elif path.endswith("kernel_scale"):
-            make = lambda k, shape=l.shape: jnp.full(  # noqa: E731
-                shape, 0.02 / 127, jnp.float32)
+            lvl = 7 if quant == "int4" else 127
+            make = lambda k, shape=l.shape, lv=lvl: jnp.full(  # noqa: E731
+                shape, 0.02 / lv, jnp.float32)
         else:
             make = lambda k, shape=l.shape: 0.02 * jax.random.normal(  # noqa: E731
                 k, shape, jnp.bfloat16)
@@ -222,7 +233,8 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
 
     rng = np.random.default_rng(0)
     out: dict = {"shape": "7B (h4096 L32 MHA32, vocab 32k) "
-                          + {"int8": "int8 weight-only", "w8a8": "w8a8"}.get(
+                          + {"int8": "int8 weight-only", "w8a8": "w8a8",
+                             "int4": "int4 group-128 weight-only"}.get(
                               quant, "bf16"),
                  "weight_gb": round(weight_gb, 2),
                  "prompt": prompt, "new_tokens": new, "per_batch": {}}
@@ -279,6 +291,8 @@ def main(argv=None):
     p.add_argument("--feat4-int8-only", action="store_true",
                    help="refresh only the int8 decode section (reuses the "
                         "cached bf16/wavlm numbers in bench_extractors.json)")
+    p.add_argument("--feat4-int4-only", action="store_true",
+                   help="refresh only the int4 decode section")
     args = p.parse_args(argv)
 
     import jax
@@ -290,6 +304,15 @@ def main(argv=None):
     if args.feat4_int8_only:
         blob["feat4_int8"] = bench_feat4(quant="int8")
         print(json.dumps({"feat4_int8": blob["feat4_int8"]}, indent=1))
+        with open(OUT_PATH, "w") as f:
+            json.dump(blob, f, indent=1)
+        print(f"wrote {OUT_PATH}")
+        return
+    if args.feat4_int4_only:
+        # int4 halves the weight stream vs int8; KV caches stay bf16, so
+        # gen_batch=16 probes whether the freed HBM buys more lockstep clips
+        blob["feat4_int4"] = bench_feat4(batches=(4, 8, 16), quant="int4")
+        print(json.dumps({"feat4_int4": blob["feat4_int4"]}, indent=1))
         with open(OUT_PATH, "w") as f:
             json.dump(blob, f, indent=1)
         print(f"wrote {OUT_PATH}")
@@ -307,6 +330,8 @@ def main(argv=None):
         # w8a8: same weights, dynamic activation int8 + native int8 MXU
         # dots — no per-step dequant VPU work on the critical path
         blob["feat4_w8a8"] = bench_feat4(quant="w8a8")
+        # int4: group-128 weight-only, halves the stream again
+        blob["feat4_int4"] = bench_feat4(batches=(4, 8, 16), quant="int4")
         print(json.dumps({"feat4_int8": blob["feat4_int8"]}, indent=1))
     with open(OUT_PATH, "w") as f:
         json.dump(blob, f, indent=1)

@@ -243,16 +243,18 @@ def main(argv=None):
                              " ~32x smaller decode HLO at 7B, numerics "
                              "identical (tests/test_llama_scan.py)")
     parser.add_argument("--quant", type=str, default=None,
-                        choices=("int8", "w8a8"),
+                        choices=("int8", "w8a8", "int4"),
                         help="int8 = weight-only fast path (ops/quant.py): "
                              "decode streams half the bytes -> ~2x tokens/s "
                              "and 7B drops to ~7 GB; ~1%% numeric shift "
                              "(tests/test_quant.py). w8a8 additionally "
                              "quantizes activations per-row and runs native "
                              "int8xint8 MXU dots (no per-step dequant VPU "
-                             "work; slightly larger numeric shift). Mutually "
-                             "exclusive with --tp (TP specs address bf16 "
-                             "kernels)")
+                             "work; slightly larger numeric shift). int4 = "
+                             "4-bit weights with group-128 scales: the "
+                             "stream halves again (7B -> ~3.5 GB), ~2-4%% "
+                             "shift. Mutually exclusive with --tp (TP specs "
+                             "address bf16 kernels)")
     args = parser.parse_args(argv)
     if args.quant and args.tp > 1:
         parser.error("--quant cannot be combined with --tp>1")
@@ -272,7 +274,7 @@ def main(argv=None):
         from sdumc_tpu.ops.quant import quantize_params
 
         cfg = dataclasses.replace(cfg, quant=args.quant)
-        params = quantize_params(params)
+        params = quantize_params(params, mode=args.quant)
     tokenizer = transformers.AutoTokenizer.from_pretrained(args.llm_dir)
     projector_params = load_projector(args.projector_path)
     extractor = Feat4Extractor(

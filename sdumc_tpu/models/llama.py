@@ -56,8 +56,10 @@ class LlamaConfig:
     # the weight-only path converts ~7e9 int8 weights per step on the
     # VPU). Opt-in fast paths — numerics shift ~1% (int8) / ~1-2% (w8a8)
     # (test_quant.py); params come from ops.quant.quantize_params over a
-    # bf16 tree (same tree for both modes). Embeddings stay full
-    # precision (gathers don't stream the table).
+    # bf16 tree (same tree for both modes). "int4" = 4-bit nibbles with
+    # group-wise scales (ops/quant.py INT4_GROUP): the weight stream
+    # halves again vs int8 (7B -> ~3.5 GB), numeric shift ~2-4%.
+    # Embeddings stay full precision (gathers don't stream the table).
     quant: Optional[str] = None
 
     @property
@@ -104,11 +106,12 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 
 def _dense(features, name, dtype, quant=None):
-    if quant in ("int8", "w8a8"):
+    if quant in ("int8", "w8a8", "int4"):
         from sdumc_tpu.ops.quant import QuantDense
 
         return QuantDense(features, dtype=dtype, name=name,
-                          act_quant=quant == "w8a8")
+                          act_quant=quant == "w8a8",
+                          bits=4 if quant == "int4" else 8)
     assert quant is None, quant
     return nn.Dense(features, use_bias=False, dtype=dtype, name=name,
                     kernel_init=nn.initializers.normal(0.02))
