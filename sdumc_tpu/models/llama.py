@@ -144,56 +144,50 @@ class LlamaAttention(nn.Module):
         k = rope(k, positions, c.rope_theta)
 
         if cache is not None and cache["k"].ndim == 5:
+            # Stacked scan trunk: the cache stack is READ-ONLY here. The
+            # old design updated the scan-carried stack and read it back
+            # in the same iteration; XLA's copy insertion resolves that
+            # read-after-write by duplicating the whole [L, B, S, H, hd]
+            # stack once per step — measured ~15 ms of the 38 ms 7B int8
+            # decode forward at 32 rows (scripts/bench_decode_fwd.py
+            # ablation; the slab write alone and the full read alone are
+            # both in-place/bandwidth-fair, only their combination on one
+            # buffer pays the copy). Attending over the OLD stack plus the
+            # current chunk explicitly (one joint softmax over the same
+            # logit set — numerically identical) makes the scan side pure
+            # reads; the (k, v) slab rides out as a scan output and
+            # LlamaModel does ONE in-place slab write after the scan.
             assert layer_idx is not None
             idx = cache["index"][layer_idx]
-            k_stack = jax.lax.dynamic_update_slice(
-                cache["k"], k[None].astype(cache["k"].dtype),
-                (layer_idx, 0, idx, 0, 0))
-            v_stack = jax.lax.dynamic_update_slice(
-                cache["v"], v[None].astype(cache["v"].dtype),
-                (layer_idx, 0, idx, 0, 0))
-            new_cache = {"k": k_stack, "v": v_stack,
-                         "index": cache["index"].at[layer_idx].add(T)}
-            # slice reads fuse into the attention consumers (no copy-out)
-            k_use = jax.lax.dynamic_index_in_dim(
-                k_stack, layer_idx, 0, keepdims=False)
-            v_use = jax.lax.dynamic_index_in_dim(
-                v_stack, layer_idx, 0, keepdims=False)
-        elif cache is not None:
+            k_old = jax.lax.dynamic_index_in_dim(
+                cache["k"], layer_idx, 0, keepdims=False)
+            v_old = jax.lax.dynamic_index_in_dim(
+                cache["v"], layer_idx, 0, keepdims=False)
+            out = _cached_attention(c, q, k, v, k_old, v_old, idx, mask)
+            out = out.reshape(B, T, c.num_heads * c.head_dim)
+            return (_dense(c.hidden_size, "o_proj", c.dtype, c.quant)(out),
+                    (k, v))
+        if cache is not None:
+            # unrolled per-layer cache: same old+chunk attention (the read
+            # targets the pre-update buffer, so the slab write below stays
+            # in place), update applied here
             idx = cache["index"]
-            k_all = jax.lax.dynamic_update_slice(
-                cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0))
-            new_cache = {"k": k_all, "v": v_all, "index": idx + T}
-            k_use, v_use = k_all, v_all
+            out = _cached_attention(c, q, k, v, cache["k"], cache["v"],
+                                    idx, mask)
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0)),
+                "index": idx + T,
+            }
         else:
             new_cache = None
             k_use, v_use = k, v
-
-        if c.kv_heads != c.num_heads:
-            rep = c.num_heads // c.kv_heads
-            k_use = jnp.repeat(k_use, rep, axis=2)
-            v_use = jnp.repeat(v_use, rep, axis=2)
-
-        if T == 1 and cache is not None:
-            # decode step: the einsum form lowers to B*H batched
-            # [1, hd] x [hd, S] dots — 1-row MXU passes whose per-pass
-            # overhead dominates (measured ~2 ms per extra beam row at 7B).
-            # The multiply-reduce form runs on the VPU and fuses into the
-            # K/V cache stream, which decode attention is bound by anyway.
-            scores = jnp.sum(
-                q.astype(jnp.float32) * k_use.astype(jnp.float32), axis=-1
-            )                                                  # [B, S, H]
-            scores = jnp.transpose(scores, (0, 2, 1))[:, :, None, :]
-            scores = scores / jnp.sqrt(c.head_dim).astype(jnp.float32)
-            scores = scores + mask
-            probs = jax.nn.softmax(scores, axis=-1)            # [B, H, 1, S]
-            pv = jnp.transpose(probs[:, :, 0, :], (0, 2, 1))   # [B, S, H]
-            out = jnp.sum(pv[..., None] * v_use.astype(jnp.float32),
-                          axis=1).astype(c.dtype)              # [B, H, hd]
-            out = out[:, None]                                 # [B, 1, H, hd]
-        else:
+            if c.kv_heads != c.num_heads:
+                rep = c.num_heads // c.kv_heads
+                k_use = jnp.repeat(k_use, rep, axis=2)
+                v_use = jnp.repeat(v_use, rep, axis=2)
             scores = jnp.einsum("bthd,bshd->bhts", q, k_use).astype(jnp.float32)
             scores = scores / jnp.sqrt(c.head_dim).astype(jnp.float32)
             scores = scores + mask
