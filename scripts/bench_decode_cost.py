@@ -25,12 +25,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 from sdumc_tpu.models.llama import LlamaConfig, LlamaForCausalLM, init_cache  # noqa: E402
 
-QUANT = sys.argv[1] if len(sys.argv) > 1 else "int8"
-quant = None if QUANT == "none" else QUANT
+QUANT = "int8"
 ROWS = (4, 32)
 for a in sys.argv[1:]:
     if a.startswith("rows="):
         ROWS = tuple(int(x) for x in a[5:].split(","))
+    else:
+        QUANT = a
+quant = None if QUANT == "none" else QUANT
 P, NEW = 128, 48
 cfg = LlamaConfig(max_position_embeddings=P + NEW, scan_layers=True, quant=quant)
 model = LlamaForCausalLM(cfg)

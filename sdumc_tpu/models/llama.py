@@ -105,6 +105,69 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def _cached_attention(c: LlamaConfig, q, k_new, v_new, k_old, v_old, idx, mask):
+    """Attention over the PRE-UPDATE cache plus the current chunk, one joint
+    softmax — numerically identical to update-then-attend while keeping the
+    cache buffer a pure read (the update happens outside, so XLA never has
+    to copy the multi-GB stack to resolve a read-after-write on the scan
+    carry; measured ~15 ms of the 38 ms 7B int8 decode forward at 32 rows,
+    scripts/bench_decode_fwd.py ablation).
+
+    q [B,T,H,hd]; k_new/v_new [B,T,KV,hd] (rope'd current chunk);
+    k_old/v_old [B,S,KV,hd] cache buffer whose slots >= ``idx`` are stale;
+    mask [B,1,T,S] additive over cache slots AS IF the chunk were already
+    written at [idx, idx+T) — the chunk's own mask is the [idx, idx+T)
+    column slice, so caller semantics (left-pad buckets, _slot_mask offsets)
+    transfer exactly. Returns [B,T,H,hd].
+    """
+    B, T = q.shape[:2]
+    S = k_old.shape[1]
+    if c.kv_heads != c.num_heads:
+        rep = c.num_heads // c.kv_heads
+        k_new = jnp.repeat(k_new, rep, axis=2)
+        v_new = jnp.repeat(v_new, rep, axis=2)
+        k_old = jnp.repeat(k_old, rep, axis=2)
+        v_old = jnp.repeat(v_old, rep, axis=2)
+    scale = jnp.sqrt(c.head_dim).astype(jnp.float32)
+    mask = jnp.broadcast_to(mask, (B, 1, T, S))
+    # stale slots (>= idx) hold garbage in the pre-update buffer; the live
+    # chunk supplies those keys instead via the sliced mask columns
+    stale = jnp.arange(S)[None, None, None, :] >= idx
+    old_mask = jnp.where(stale, -1e30, mask)
+    chunk_mask = jax.lax.dynamic_slice(mask, (0, 0, 0, idx), (B, 1, T, T))
+
+    if T == 1:
+        # decode step: the einsum form lowers to B*H batched [1, hd] x
+        # [hd, S] dots — 1-row MXU passes whose per-pass overhead dominates
+        # (measured ~2 ms per extra beam row at 7B). The multiply-reduce
+        # form runs on the VPU and fuses into the K/V cache stream, which
+        # decode attention is bound by anyway.
+        s_old = jnp.sum(
+            q.astype(jnp.float32) * k_old.astype(jnp.float32), axis=-1
+        )                                                   # [B, S, H]
+        s_old = jnp.transpose(s_old, (0, 2, 1))[:, :, None, :] / scale
+        s_self = jnp.sum(
+            q.astype(jnp.float32) * k_new.astype(jnp.float32), axis=-1
+        )                                                   # [B, 1, H]
+        s_self = jnp.transpose(s_self, (0, 2, 1))[:, :, None, :] / scale
+        joint = jnp.concatenate(
+            [s_old + old_mask, s_self + chunk_mask], axis=-1)
+        probs = jax.nn.softmax(joint, axis=-1)              # [B, H, 1, S+1]
+        pv = jnp.transpose(probs[:, :, 0, :S], (0, 2, 1))   # [B, S, H]
+        out = jnp.sum(pv[..., None] * v_old.astype(jnp.float32), axis=1)
+        out = out + probs[:, :, 0, S:] * v_new[:, 0].astype(jnp.float32)
+        return out.astype(c.dtype)[:, None]                 # [B, 1, H, hd]
+
+    s_old = jnp.einsum("bthd,bshd->bhts", q, k_old).astype(jnp.float32)
+    s_new = jnp.einsum("bthd,bshd->bhts", q, k_new).astype(jnp.float32)
+    joint = jnp.concatenate(
+        [s_old / scale + old_mask, s_new / scale + chunk_mask], axis=-1)
+    probs = jax.nn.softmax(joint, axis=-1).astype(c.dtype)  # [B, H, T, S+T]
+    out = jnp.einsum("bhts,bshd->bthd", probs[..., :S], v_old)
+    out = out + jnp.einsum("bhts,bshd->bthd", probs[..., S:], v_new)
+    return out
+
+
 def _dense(features, name, dtype, quant=None):
     if quant in ("int8", "w8a8", "int4"):
         from sdumc_tpu.ops.quant import QuantDense
@@ -127,11 +190,10 @@ class LlamaAttention(nn.Module):
 
         Stacked-cache mode (scan trunk): ``cache["k"]`` is the FULL
         [L, B, S_max, H, hd] stack and ``layer_idx`` the traced layer
-        number. The update writes this layer's new slot directly into the
-        stack — a [1, B, T, H, hd]-sized dynamic_update_slice that XLA
-        keeps in place on the scan carry — instead of materializing a
-        per-layer cache copy as a scanned output (at 7B decode that copy
-        was 2x the whole KV cache of extra HBM traffic per step)."""
+        number. The stack is READ-ONLY here: attention runs jointly over
+        the old stack and the current chunk (_cached_attention), the new
+        (k, v) chunk is returned for LlamaModel's single post-scan slab
+        write. Returns (out, (k, v))."""
         c = self.cfg
         B, T, _ = x.shape
         q = _dense(c.num_heads * c.head_dim, "q_proj", c.dtype, c.quant)(x)
@@ -222,21 +284,21 @@ class LlamaLayer(nn.Module):
         """Unrolled mode: x [B, T, D], per-layer ``cache`` dict.
         Scan-carry mode (nn.scan trunk): x is the carry tuple
         ``(h, stacked_caches_or_None, layer_idx, tap_acc_or_None)`` — the
-        stacked caches ride the CARRY (updated in place via
-        LlamaAttention's stacked path) rather than being scanned in/out,
-        ``tap_acc`` accumulates collect_coeff[li] * output, and the
-        scanned output is just this layer's hidden state (or () when not
-        collected)."""
+        stacked caches ride the CARRY as PURE READS (attention runs over
+        the old stack plus the current chunk, see _cached_attention), the
+        layer's (k, v) chunk rides OUT as a scanned output and LlamaModel
+        does one in-place slab write after the scan; ``tap_acc``
+        accumulates collect_coeff[li] * output. Scanned outputs are
+        ``(hidden_or_(), kv_or_())``."""
         if isinstance(x, tuple):
             h, caches, li, tap = x
-            out, new_caches = self._block(h, positions, mask, caches, li)
-            if caches is None:
-                new_caches = None
+            out, kv = self._block(h, positions, mask, caches, li)
             if tap is not None:
                 coeff = jnp.asarray(self.collect_coeff, jnp.float32)[li]
                 tap = tap + coeff * out.astype(jnp.float32)
-            return ((out, new_caches, li + 1, tap),
-                    out if self.collect_hidden else ())
+            return ((out, caches, li + 1, tap),
+                    (out if self.collect_hidden else (),
+                     kv if caches is not None else ()))
         out, new_cache = self._block(x, positions, mask, cache, None)
         return out, new_cache
 
@@ -304,10 +366,13 @@ class LlamaModel(nn.Module):
 
         hidden_states = [x] if output_hidden_states else None
         if c.scan_layers:
-            # stacked caches (and the optional running tap sum) ride the
-            # scan CARRY (in-place slot updates, no per-layer cache
-            # copy-out — see LlamaAttention); the only scanned output is
-            # the optional per-layer hidden stack
+            # the stacked caches (and the optional running tap sum) ride
+            # the scan CARRY as pure reads; each layer's (k, v) chunk is a
+            # scanned OUTPUT and the whole [L, B, T, KV, hd] slab is
+            # written into the cache in ONE in-place dynamic_update_slice
+            # below — a carried read+write on the same buffer forces XLA's
+            # copy-insertion to duplicate the stack every step (see
+            # _cached_attention docstring for the measurement)
             Scan = nn.scan(
                 LlamaLayer,
                 variable_axes={"params": 0},
@@ -320,9 +385,24 @@ class LlamaModel(nn.Module):
                              collect_coeff=layer_coeff,
                              name="layers")((x, caches, jnp.int32(0), tap),
                                             positions, attn_mask)
-            x, new_caches, _, tap = carry
+            x, _, _, tap = carry
+            hs_stack, kv_stack = ys
             if output_hidden_states:
-                hidden_states += [ys[i] for i in range(c.num_layers)]
+                hidden_states += [hs_stack[i] for i in range(c.num_layers)]
+            if caches is not None:
+                k_new, v_new = kv_stack        # [L, B, T, KV, hd] each
+                idx = caches["index"][0]       # layers always advance together
+                new_caches = {
+                    "k": jax.lax.dynamic_update_slice(
+                        caches["k"], k_new.astype(caches["k"].dtype),
+                        (0, 0, idx, 0, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        caches["v"], v_new.astype(caches["v"].dtype),
+                        (0, 0, idx, 0, 0)),
+                    "index": caches["index"] + T,
+                }
+            else:
+                new_caches = None
         else:
             new_caches = [] if caches is not None else None
             for i in range(c.num_layers):
