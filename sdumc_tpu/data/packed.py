@@ -12,7 +12,7 @@ multi-host streaming.
 
 from __future__ import annotations
 
-import glob
+
 import json
 import os
 from typing import Dict, Sequence
@@ -21,10 +21,14 @@ import numpy as np
 
 
 def pack_features(src_dir: str, out_prefix: str, names: Sequence[str] | None = None) -> str:
+    # os.listdir, NOT glob: the live feat4 dir name contains glob
+    # metacharacters ("...wav+prompt[take_generate_wordembed_-4]") that turn
+    # a glob pattern into an (empty) character-class match
     files = (
         [os.path.join(src_dir, n + ".npy") for n in names]
         if names is not None
-        else sorted(glob.glob(os.path.join(src_dir, "*.npy")))
+        else sorted(os.path.join(src_dir, f) for f in os.listdir(src_dir)
+                    if f.endswith(".npy"))
     )
     index: Dict[str, list] = {}
     offset = 0

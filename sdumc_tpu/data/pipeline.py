@@ -117,6 +117,44 @@ class BatchIterator:
             and all(hasattr(s, "path_for") for s in self.ds.sources.values())
         )
 
+    def _packed_usable(self) -> bool:
+        from sdumc_tpu.data.packed import PackedSource
+
+        return self.ds.feat_scale <= 1 and all(
+            isinstance(s, PackedSource) for s in self.ds.sources.values()
+        )
+
+    def _packed_batch(self, chunk) -> Batch:
+        """Packed-store fast path: per-modality lengths come from the JSON
+        index (no file probes at all), the batch fill is one
+        sdumc_fill_batch_packed call into the blob (C++ thread pool; python
+        mmap gather fallback) — the production producer for training
+        (reference contract read_data.py:70-91, minus the 12-process pool
+        and the per-clip file opens)."""
+        from sdumc_tpu.data.collate import bucket_for
+        from sdumc_tpu.data.packed import fill_batch_from_packed
+
+        names = [self.ds.names[int(i)] for i in chunk]
+        mats, t_max, lengths = {}, [], []
+        for key in ("audio", "text", "video", "feat4"):
+            src = self.ds.sources[key]
+            lens = [src.length_of(n) for n in names]
+            tm = min(max(lens), self.buckets[-1])
+            bucket = bucket_for(tm, self.buckets)
+            batch, _ = fill_batch_from_packed(src, names, bucket, src.dim)
+            mats[key] = batch
+            t_max.append(tm)
+            lengths.append(np.minimum(lens, self.buckets[-1]))
+        labels = [self.ds.labels[int(i)] for i in chunk]
+        return Batch(
+            audio=mats["audio"], text=mats["text"], video=mats["video"],
+            feat4=mats["feat4"], t_max=tuple(t_max),
+            lengths=np.array(lengths, np.int32),
+            emos=np.array([l.get("emo", 0.0) for l in labels], np.float32),
+            vals=np.array([l.get("val", 0.0) for l in labels], np.float32),
+            names=names,
+        )
+
     def _native_batch(self, chunk) -> Batch:
         """C++ fast path: header-probe lengths, then thread-pooled read +
         pad/compress straight into the batch buffers (data/native.py)."""
@@ -148,11 +186,15 @@ class BatchIterator:
 
     def _batches(self) -> Iterator[Batch]:
         idx = self._order()
-        use_native = self._native_usable()
+        use_packed = self._packed_usable()
+        use_native = not use_packed and self._native_usable()
         for s in range(0, len(idx), self.bs):
             chunk = idx[s : s + self.bs]
             if self.drop_remainder and len(chunk) < self.bs:
                 return
+            if use_packed:
+                yield self._packed_batch(chunk)
+                continue
             if use_native:
                 yield self._native_batch(chunk)
                 continue
@@ -220,7 +262,22 @@ def build_sources(cfg: DataConfig, paths: PathsConfig, synthetic: bool = False, 
             k: SyntheticSource(v, regimes[k][0], regimes[k][1], regimes[k][2])
             for k, v in names.items()
         }
-    return {k: NpyDirSource(paths.features_dir, v) for k, v in names.items()}
+    # production fast path: a packed blob next to the per-clip dirs (built
+    # by `python -m sdumc_tpu.cli.extract pack` / packed.pack_features) wins —
+    # one mmap'd file per modality, index-only length probes, and the C++
+    # thread-pooled batch fill (the working LMDB-equivalent the reference's
+    # broken lazy variant aimed at, feat_data.py:452-554)
+    import os
+
+    from sdumc_tpu.data.packed import PackedSource
+
+    def _src(feature_name: str):
+        prefix = os.path.join(paths.features_dir, feature_name)
+        if os.path.exists(prefix + ".bin") and os.path.exists(prefix + ".json"):
+            return PackedSource(prefix, feature_name)
+        return NpyDirSource(paths.features_dir, feature_name)
+
+    return {k: _src(v) for k, v in names.items()}
 
 
 def build_loaders(cfg: DataConfig, paths: PathsConfig, *, synthetic: bool = False, synthetic_sizes=(256, 64, 64)):

@@ -258,3 +258,70 @@ def test_cross_corpus_loaders(tmp_path):
                                   test_dataset="MELD")
     with pytest.raises(AssertionError, match="DIM family"):
         get_loaders("CMU-MOSEI", cfg_bad, paths_a, test_paths=paths_b)
+
+
+def test_packed_batch_iterator_matches_npy_iterator(tmp_path):
+    """BatchIterator over PackedSources (the production producer,
+    pipeline._packed_batch) yields batches identical to the per-clip .npy
+    path — same buckets, t_max, lengths, payload, labels."""
+    import os
+
+    from sdumc_tpu.data.feature_store import NpyDirSource
+    from sdumc_tpu.data.packed import PackedSource, pack_features
+    from sdumc_tpu.data.pipeline import MoseiDataset
+
+    rng = np.random.default_rng(11)
+    names = [f"c{i}" for i in range(9)]
+    dims = {"audio": 6, "text": 8, "video": 6, "feat4": 8}
+    for key, d in dims.items():
+        os.makedirs(tmp_path / key)
+        for n in names:
+            arr = rng.normal(size=(int(rng.integers(2, 30)), d)).astype(np.float32)
+            np.save(tmp_path / key / f"{n}.npy", arr)
+        pack_features(str(tmp_path / key), str(tmp_path / key))
+
+    labels = [{"emo": 0.0, "val": float(i)} for i in range(9)]
+    npy_ds = MoseiDataset(names, labels,
+                          {k: NpyDirSource(str(tmp_path), k) for k in dims})
+    pk_ds = MoseiDataset(names, labels,
+                         {k: PackedSource(str(tmp_path / k), k) for k in dims})
+
+    kw = dict(shuffle=False, prefetch=0, buckets=(8, 16, 32))
+    ref = list(BatchIterator(npy_ds, 4, **kw))
+    got = list(BatchIterator(pk_ds, 4, **kw))
+    assert len(ref) == len(got) == 3
+    for rb, gb in zip(ref, got):
+        assert rb.t_max == gb.t_max and rb.names == gb.names
+        np.testing.assert_array_equal(rb.lengths, gb.lengths)
+        np.testing.assert_array_equal(rb.vals, gb.vals)
+        for key in ("audio", "text", "video", "feat4"):
+            np.testing.assert_array_equal(getattr(rb, key), getattr(gb, key))
+
+
+def test_build_sources_prefers_packed_store(tmp_path):
+    """build_sources auto-selects PackedSource when a pack sits next to the
+    per-clip dirs (the production fast path)."""
+    import os
+
+    from sdumc_tpu.core.config import DataConfig, PathsConfig
+    from sdumc_tpu.data.feature_store import NpyDirSource
+    from sdumc_tpu.data.packed import PackedSource, pack_features
+    from sdumc_tpu.data.pipeline import build_sources
+
+    cfg = DataConfig()
+    feat_names = {"audio": cfg.audio_feature, "text": cfg.text_feature,
+                  "video": cfg.video_feature, "feat4": cfg.feat4_feature}
+    rng = np.random.default_rng(3)
+    for key, feat in feat_names.items():
+        os.makedirs(tmp_path / feat)
+        np.save(tmp_path / feat / "c0.npy",
+                rng.normal(size=(4, 6)).astype(np.float32))
+        if key != "video":  # leave one modality npy-only
+            pack_features(str(tmp_path / feat), str(tmp_path / feat))
+
+    paths = PathsConfig(features_dir=str(tmp_path), label_path="")
+    sources = build_sources(cfg, paths)
+    assert isinstance(sources["audio"], PackedSource)
+    assert isinstance(sources["text"], PackedSource)
+    assert isinstance(sources["feat4"], PackedSource)
+    assert isinstance(sources["video"], NpyDirSource)
