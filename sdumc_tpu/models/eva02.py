@@ -23,11 +23,13 @@ Visual Representation for Neon Genesis", arXiv:2303.11331):
   Final embedding (timm ``num_classes=0`` + default avg pool): mean over
   patch tokens, then the ``fc_norm`` LayerNorm.
 
-No offline parity oracle exists here (timm is not installed — same reason
-the reference pins ``timm==0.9.7``), so tests/test_eva02.py pins the
-structure instead: rope norm preservation + relative-offset invariance,
-k-bias absence, converter key coverage against the published timm
-checkpoint schema, and CLS exclusion from rotation.
+Numeric oracle: timm itself is not installed (same reason the reference
+pins ``timm==0.9.7``), so tests/goldens/make_eva02_golden.py renders the
+published architecture independently in eager torch and checks in a
+timm-schema state dict + golden activations (tests/goldens/eva02_tiny.npz);
+test_eva02.py asserts converter+model output parity against it, plus
+structural pins (rope algebra, k-bias absence, CLS exclusion, converter
+key coverage).
 """
 
 from __future__ import annotations
