@@ -219,28 +219,17 @@ def bench_train(precision: str | None = None, want_roofline: bool = False,
     return cps, rl.report(dt)
 
 
-def bench_host_pipeline() -> float:
-    """Host input-pipeline production rate: real .npy files on disk ->
-    BatchIterator (C++ native thread-pooled fill when built, else python
-    mmap) -> device-ready numpy batches, with background prefetch. This is
-    the producer side of the production loop (reference contract
-    read_data.py:70-91).
-
-    Measured host-side on purpose: this bench host reaches the chip over a
-    dev tunnel (~10 MB/s h2d — measured; a colocated TPU host streams
-    >10 GB/s over DMA), so an in-loop transfer measurement would benchmark
-    the tunnel, not the framework. The steady-state throughput of the
-    overlapped producer/consumer pipeline is min(host rate, device rate);
-    bench.py reports both and that bound."""
+def _host_feat_root() -> tuple:
+    """Materialize the synthetic clips as .npy files AND a packed store
+    (once per host); returns (feat_root, names)."""
     import shutil
 
-    from sdumc_tpu.data.feature_store import NpyDirSource, SyntheticSource
-    from sdumc_tpu.data.pipeline import BatchIterator, MoseiDataset
+    from sdumc_tpu.data.feature_store import SyntheticSource
+    from sdumc_tpu.data.packed import pack_features
 
-    # materialize the same synthetic clips as .npy files (once per host)
     feat_root = "/tmp/sdumc_bench_feats"
     names = [f"clip_{b}_{i}" for b in range(N_BATCHES) for i in range(BATCH_SIZE)]
-    marker = os.path.join(feat_root, ".complete")
+    marker = os.path.join(feat_root, ".complete_v2")
     if not os.path.exists(marker):
         shutil.rmtree(feat_root, ignore_errors=True)
         for key, (d, lo, hi) in REGIMES.items():
@@ -248,9 +237,40 @@ def bench_host_pipeline() -> float:
             os.makedirs(os.path.join(feat_root, key), exist_ok=True)
             for n in names:
                 np.save(os.path.join(feat_root, key, f"{n}.npy"), src.get(n))
+            pack_features(os.path.join(feat_root, key),
+                          os.path.join(feat_root, key))
         open(marker, "w").close()
+    return feat_root, names
 
-    sources = {k: NpyDirSource(feat_root, k) for k in REGIMES}
+
+def bench_host_pipeline(packed: bool = False) -> float:
+    """Host input-pipeline production rate: features on disk ->
+    BatchIterator -> device-ready numpy batches, with background prefetch.
+    This is the producer side of the production loop (reference contract
+    read_data.py:70-91).
+
+    packed=False: per-clip .npy files (C++ thread-pooled fill when built,
+    else python mmap) — the reference's on-disk layout. packed=True: the
+    packed single-blob store (data/packed.py + sdumc_fill_batch_packed) —
+    the production layout, auto-selected by build_sources when a pack
+    exists; index-only length probes, no per-clip file opens.
+
+    Measured host-side on purpose: this bench host reaches the chip over a
+    dev tunnel (~10 MB/s h2d — measured; a colocated TPU host streams
+    >10 GB/s over DMA), so an in-loop transfer measurement would benchmark
+    the tunnel, not the framework. The steady-state throughput of the
+    overlapped producer/consumer pipeline is min(host rate, device rate);
+    bench.py reports both and that bound."""
+    from sdumc_tpu.data.feature_store import NpyDirSource
+    from sdumc_tpu.data.packed import PackedSource
+    from sdumc_tpu.data.pipeline import BatchIterator, MoseiDataset
+
+    feat_root, names = _host_feat_root()
+    if packed:
+        sources = {k: PackedSource(os.path.join(feat_root, k), k)
+                   for k in REGIMES}
+    else:
+        sources = {k: NpyDirSource(feat_root, k) for k in REGIMES}
     labels = [{"emo": 0.0, "val": 0.0} for _ in names]
     ds = MoseiDataset(names, labels, sources)
 
@@ -375,11 +395,16 @@ def main():
         print(json.dumps(blob))
         return
     baseline = get_baseline()
-    ours, eval_rl = bench_ours(want_roofline=True)
-    ours_bf16 = bench_ours("bfloat16")
-    train_cps, train_rl = bench_train(want_roofline=True)
-    train_bf16_cps = bench_train(feature_dtype="bfloat16")
+    # bf16 features are the benchmarked production default (f32 kept for the
+    # checkpoint-exact parity path); rooflines are reported for BOTH so the
+    # headline number has its own MFU/HBM attribution (VERDICT r2 item 4)
+    ours_f32, eval_rl_f32 = bench_ours(want_roofline=True)
+    ours, eval_rl = bench_ours("bfloat16", want_roofline=True)
+    train_f32_cps, train_rl_f32 = bench_train(want_roofline=True)
+    train_cps, train_rl = bench_train(feature_dtype="bfloat16",
+                                      want_roofline=True)
     host_cps = bench_host_pipeline()
+    host_packed_cps = bench_host_pipeline(packed=True)
     base = baseline.get("clips_per_sec") or float("nan")
     vs = ours / base if np.isfinite(base) and base > 0 else None
     import jax
@@ -389,20 +414,29 @@ def main():
         "value": round(ours, 2),
         "unit": "clips/s",
         "vs_baseline": round(vs, 2) if vs else None,
-        "bf16_features_clips_per_sec": round(ours_bf16, 2),
+        "feature_dtype": "bfloat16",
+        "f32_features_clips_per_sec": round(ours_f32, 2),
         "train_clips_per_sec": round(train_cps, 2),
-        "train_bf16_features_clips_per_sec": round(train_bf16_cps, 2),
+        "train_f32_features_clips_per_sec": round(train_f32_cps, 2),
         # producer/consumer: steady-state e2e = min(host pipeline, device);
         # measured separately because this host reaches the chip over a
         # ~10 MB/s dev tunnel (a colocated TPU host streams GB/s over DMA,
         # so the transfer leg is never the binding constraint there)
         "host_pipeline_clips_per_sec": round(host_cps, 2),
-        "e2e_clips_per_sec": round(min(host_cps, ours), 2),
-        "e2e_vs_devicestaged_pct": round(100 * min(host_cps, ours) / ours, 1),
+        # packed single-blob store — the production layout (build_sources
+        # auto-selects it when a pack exists); e2e rate uses this producer
+        "host_pipeline_packed_clips_per_sec": round(host_packed_cps, 2),
+        "e2e_clips_per_sec": round(min(host_packed_cps, ours), 2),
+        "e2e_vs_devicestaged_pct": round(
+            100 * min(host_packed_cps, ours) / ours, 1),
         # roofline: XLA cost analysis over every timed program call (see
-        # sdumc_tpu/utils/roofline.py; peaks = public v5e specs)
+        # sdumc_tpu/utils/roofline.py; peaks = public v5e specs). The
+        # unsuffixed rooflines attribute the headline bf16 numbers; the
+        # _f32 pair covers the parity path.
         "eval_roofline": eval_rl or None,
         "train_roofline": train_rl or None,
+        "eval_roofline_f32": eval_rl_f32 or None,
+        "train_roofline_f32": train_rl_f32 or None,
         "device": str(jax.devices()[0]),
         "baseline": baseline.get("device"),
     }
