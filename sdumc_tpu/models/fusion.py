@@ -65,7 +65,10 @@ class FRA2UTTNew(nn.Module):
     def __call__(self, x, *, t_max=None, deterministic: bool = True):
         context = self.param("context", _xavier_normal_vector, (1, self.dim))
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        if self.use_pallas:
+        # the Mosaic kernel prefetches one scalar t_max; per-row vectors
+        # (fused dual-view text stream) take the einsum path — param paths
+        # match (LinearParams twin), so the branch choice is numerics-free
+        if self.use_pallas and not getattr(t_max, "ndim", 0):
             from sdumc_tpu.models.layers import LinearParams
             from sdumc_tpu.ops.pallas import fused_attention_pool
 
@@ -102,7 +105,7 @@ class CrossAttention(nn.Module):
         q_proj = Linear(self.dim, name="query_proj")
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         q = q_proj(query)
-        if self.use_pallas:
+        if self.use_pallas and not getattr(t_max, "ndim", 0):  # see FRA2UTTNew
             from sdumc_tpu.models.layers import LinearParams
             from sdumc_tpu.ops.pallas import fused_cross_attention
 
@@ -126,6 +129,11 @@ class CrossAttention(nn.Module):
 class SDUMCFusion(nn.Module):
     cfg: ModelConfig
 
+    # train/step.py checks this to fuse the teacher+student views into ONE
+    # [2B]-row forward (halves op count and shares the audio/video input
+    # projections; the step is op-overhead-bound, not FLOP-bound)
+    dual_view_fusable = True
+
     def __call__(
         self,
         audio: jnp.ndarray,
@@ -135,6 +143,7 @@ class SDUMCFusion(nn.Module):
         t_max: Optional[Tuple] = None,
         missing: bool = False,
         deterministic: bool = True,
+        dual: bool = False,
     ):
         """Forward one view.
 
@@ -147,6 +156,15 @@ class SDUMCFusion(nn.Module):
             (:278); triggers imagination substitution only when
             cfg.use_imagination is set (the reference keeps it commented).
           deterministic: disables dropout (eval mode).
+          dual: fused dual-view mode — ``text`` is the tuple (text_gt,
+            feat4) and ``t_max`` is (ta, (tt_gt, tt_feat4), tv); the two
+            views are stacked along batch AFTER the shared input
+            projections (teacher rows first), so every downstream op runs
+            once at [2B] rows and the audio/video projections run once
+            total. All outputs have 2B leading rows; per-row numerics are
+            identical to two single-view calls (rows never mix — tested in
+            tests/test_fused_dual.py). Requires use_imagination off (the
+            substitution is the only missing-conditional compute).
 
         Returns:
           (vals_out [B, 1], aux dict) where aux carries the distillation
@@ -158,11 +176,12 @@ class SDUMCFusion(nn.Module):
         with jax.default_matmul_precision(cfg.matmul_precision):
             return self._forward(
                 audio, text, video, t_max=t_max, missing=missing,
-                deterministic=deterministic,
+                deterministic=deterministic, dual=dual,
             )
 
     @nn.compact
-    def _forward(self, audio, text, video, *, t_max, missing, deterministic):
+    def _forward(self, audio, text, video, *, t_max, missing, deterministic,
+                 dual=False):
         cfg = self.cfg
         d = cfg.general_dim
         ta, tt, tv = t_max if t_max is not None else (None, None, None)
@@ -170,9 +189,37 @@ class SDUMCFusion(nn.Module):
         use_pallas = cfg.use_pallas == "on"  # "auto" -> XLA path (see config)
 
         # --- input projections (:193-195, :282-284)
-        audio_f = Linear(d, name="frame_dim_reshape_0")(audio)
-        text_f = Linear(d, name="frame_dim_reshape_1")(text)
-        video_f = Linear(d, name="frame_dim_reshape_2")(video)
+        proj_a = Linear(d, name="frame_dim_reshape_0")
+        proj_t = Linear(d, name="frame_dim_reshape_1")
+        proj_v = Linear(d, name="frame_dim_reshape_2")
+        if dual:
+            # fused dual-view: project each text stream at its own bucket
+            # (shared params), pad the PROJECTED width-d streams to a common
+            # T, stack views along batch; duplicate the shared audio/video
+            # projections by row-stacking (one projection matmul, one raw
+            # [B,T,D_raw] read, instead of two).
+            assert not cfg.use_imagination, "fused dual needs imagination off"
+            assert t_max is not None, "fused dual needs t_max"
+            text_gt, text_ps = text
+            tt_gt, tt_ps = tt
+            B = audio.shape[0]
+            tf_gt, tf_ps = proj_t(text_gt), proj_t(text_ps)
+            T_t = max(tf_gt.shape[1], tf_ps.shape[1])
+            pad = lambda z: jnp.pad(  # noqa: E731
+                z, ((0, 0), (0, T_t - z.shape[1]), (0, 0)))
+            text_f = jnp.concatenate([pad(tf_gt), pad(tf_ps)], axis=0)
+            tt = jnp.concatenate([
+                jnp.broadcast_to(jnp.asarray(tt_gt, jnp.int32), (B,)),
+                jnp.broadcast_to(jnp.asarray(tt_ps, jnp.int32), (B,)),
+            ])  # per-row text lengths; ta/tv stay scalars (views share them)
+            audio_f = proj_a(audio)
+            video_f = proj_v(video)
+            audio_f = jnp.concatenate([audio_f, audio_f], axis=0)
+            video_f = jnp.concatenate([video_f, video_f], axis=0)
+        else:
+            audio_f = proj_a(audio)
+            text_f = proj_t(text)
+            video_f = proj_v(video)
 
         # --- frame->utterance pooling (:288-290)
         pool_a = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="fra2utt_0")

@@ -32,12 +32,21 @@ def time_mask(length: int, t_max) -> jnp.ndarray:
 def mask_time_scores(scores: jnp.ndarray, t_max, axis: int = 1) -> jnp.ndarray:
     """Set scores at time positions >= t_max to -inf along `axis`.
 
-    `t_max` may be None (no masking), a python int, or a traced scalar.
-    """
+    `t_max` may be None (no masking), a python int, a traced scalar, or a
+    per-row [B] vector (batch axis 0) — the fused dual-view forward stacks
+    the teacher and student views along batch, whose text streams have
+    different dynamic lengths (train/step.py)."""
     if t_max is None:
         return scores
     length = scores.shape[axis]
-    mask = time_mask(length, t_max)
+    t = jnp.asarray(t_max)
+    if t.ndim == 0:
+        mask = time_mask(length, t)
+        shape = [1] * scores.ndim
+        shape[axis] = length
+        return jnp.where(mask.reshape(shape), scores, NEG_INF)
+    assert t.ndim == 1 and axis != 0, (t.shape, axis)
+    mask = jnp.arange(length)[None, :] < t[:, None]  # [B, length]
     shape = [1] * scores.ndim
-    shape[axis] = length
+    shape[0], shape[axis] = t.shape[0], length
     return jnp.where(mask.reshape(shape), scores, NEG_INF)

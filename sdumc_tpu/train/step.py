@@ -34,6 +34,45 @@ from sdumc_tpu import losses
 from sdumc_tpu.core.config import LossConfig
 
 
+def _fusable(model) -> bool:
+    """True when the two views can run as ONE [2B]-row forward: the model
+    opts in (SDUMCFusion.dual_view_fusable) and nothing conditions compute
+    on the missing flag (use_imagination substitutes only then). Baseline
+    families keep the two-apply path — their aux["model_loss"] reduces over
+    the batch axis, which a row-stacked forward would halve."""
+    return (getattr(model, "dual_view_fusable", False)
+            and not getattr(model.cfg, "use_imagination", False))
+
+
+def _apply_views(model, params, batch, rng0, rng1, deterministic):
+    """Run teacher (gt text) + student (feat4) views; fused into one
+    [2B]-row apply when the model supports it (per-row numerics identical
+    to two applies — tests/test_fused_dual.py). Returns
+    (vals0, aux0, vals1, aux1)."""
+    ta, tt, tv, tf4 = batch["t_max"]
+    kw = dict(deterministic=deterministic)
+    if not deterministic:
+        kw["rngs"] = {"dropout": rng0}
+    if _fusable(model):
+        vals01, aux01 = model.apply(
+            {"params": params},
+            batch["audio"], (batch["text"], batch["feat4"]), batch["video"],
+            t_max=(ta, (tt, tf4), tv), dual=True, **kw)
+        B = batch["audio"].shape[0]
+        head = jax.tree_util.tree_map(lambda a: a[:B], (vals01, aux01))
+        tail = jax.tree_util.tree_map(lambda a: a[B:], (vals01, aux01))
+        return head[0], head[1], tail[0], tail[1]
+    vals0, aux0 = model.apply(
+        {"params": params}, batch["audio"], batch["text"], batch["video"],
+        t_max=(ta, tt, tv), missing=False, **kw)
+    if not deterministic:
+        kw["rngs"] = {"dropout": rng1}
+    vals1, aux1 = model.apply(
+        {"params": params}, batch["audio"], batch["feat4"], batch["video"],
+        t_max=(ta, tf4, tv), missing=True, **kw)
+    return vals0, aux0, vals1, aux1
+
+
 def dual_view_loss(
     model,
     params,
@@ -44,7 +83,6 @@ def dual_view_loss(
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Compute the mixed distillation loss for one batch dict with keys
     audio/text/video/feat4 [B,T,D], vals [B], t_max (4 traced scalars)."""
-    ta, tt, tv, tf4 = batch["t_max"]
     rng0, rng1, rng_aug = jax.random.split(rng, 3)
     vals = batch["vals"]
 
@@ -58,22 +96,9 @@ def dual_view_loss(
         audio = audio * (keep_a > loss_cfg.frame_dropout_p)
         video = video * (keep_v > loss_cfg.frame_dropout_p)
 
-    vals0, aux0 = model.apply(
-        {"params": params},
-        audio, batch["text"], video,
-        t_max=(ta, tt, tv),
-        missing=False,
-        deterministic=deterministic,
-        rngs={"dropout": rng0},
-    )
-    vals1, aux1 = model.apply(
-        {"params": params},
-        audio, batch["feat4"], video,
-        t_max=(ta, tf4, tv),
-        missing=True,
-        deterministic=deterministic,
-        rngs={"dropout": rng1},
-    )
+    vals0, aux0, vals1, aux1 = _apply_views(
+        model, params, dict(batch, audio=audio, video=video),
+        rng0, rng1, deterministic)
 
     sg = jax.lax.stop_gradient
     mse0 = losses.mse_loss(vals0, vals)
@@ -151,17 +176,8 @@ def make_eval_step(model):
 
     @jax.jit
     def eval_step(params, batch):
-        ta, tt, tv, tf4 = batch["t_max"]
-        vals0, _ = model.apply(
-            {"params": params},
-            batch["audio"], batch["text"], batch["video"],
-            t_max=(ta, tt, tv), missing=False, deterministic=True,
-        )
-        vals1, _ = model.apply(
-            {"params": params},
-            batch["audio"], batch["feat4"], batch["video"],
-            t_max=(ta, tf4, tv), missing=True, deterministic=True,
-        )
+        vals0, _, vals1, _ = _apply_views(
+            model, params, batch, None, None, True)
         return vals0.reshape(-1), vals1.reshape(-1)
 
     return eval_step
