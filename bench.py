@@ -454,6 +454,12 @@ def main():
             blob["wavlm_hbm_gbps"] = wav.get("bulk_bf16", {}).get("hbm_gbps")
             blob["wavlm_long_clips_per_sec"] = wav.get(
                 "long8_flash_bf16", {}).get("clips_per_sec")
+            # long-regime attribution (VERDICT r2 item 7): is the flash
+            # path at a hardware bound or leaving throughput on the table?
+            blob["wavlm_long_mfu_pct"] = wav.get(
+                "long8_flash_bf16", {}).get("flops_util_pct")
+            blob["wavlm_long_hbm_util_pct"] = wav.get(
+                "long8_flash_bf16", {}).get("hbm_util_pct")
         if f4:
             blob["feat4_tokens_per_sec"] = f4.get("clip_tokens_per_sec_best")
             blob["feat4_fits_single_chip"] = f4.get("fits_single_chip")

@@ -23,8 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 from sdumc_tpu.models.llama import LlamaConfig, LlamaForCausalLM, init_cache  # noqa: E402
 
-QUANT = sys.argv[1] if len(sys.argv) > 1 else "int8"
-quant = None if QUANT == "none" else QUANT
+QUANT = "int8"
 # "unroll" anywhere in argv: unrolled trunk instead of scan-over-layers —
 # isolates the cost of the scan's per-layer dynamic-slice of the stacked
 # weights (compile is ~32x slower; measurement identical otherwise)
@@ -34,6 +33,9 @@ ROWS = (4, 8, 16, 32)
 for a in sys.argv[1:]:
     if a.startswith("rows="):
         ROWS = tuple(int(x) for x in a[5:].split(","))
+    elif a != "unroll":
+        QUANT = a
+quant = None if QUANT == "none" else QUANT
 P, NEW = 128, 48
 cfg = LlamaConfig(max_position_embeddings=P + NEW, scan_layers=SCAN, quant=quant)
 model = LlamaForCausalLM(cfg)
@@ -83,7 +85,8 @@ for R in ROWS:
         logits, caches = step(params, caches, tok, R)
     np.asarray(logits[0, 0, :8])
     dt = (time.perf_counter() - t0) / reps
-    wgb = 6.87 if quant else 13.48
+    # weight stream: sum the actual param bytes (int4 packs 2/byte)
+    wgb = sum(l.size * l.dtype.itemsize for l in leaves) / 1e9
     kvgb = 32 * 2 * R * max_len * 4096 * 2 / 1e9
     print(f"R={R:3d}: {dt*1e3:7.2f} ms/step  weights+kv {(wgb+kvgb):5.2f} GB "
           f"-> {(wgb+kvgb)/dt:6.0f} GB/s achieved", flush=True)

@@ -68,8 +68,8 @@ def bias_tiles_for(rel_embed: jnp.ndarray, n_tiles: int, block: int,
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref,
-                  out_ref, m_ref, l_ref, acc_ref, *, scale, n_k, hd, bb, H,
-                  precision):
+                  out_ref, m_ref, l_ref, acc_ref, *, scale, n_k, hd, bb, hb,
+                  precision, exp_base2):
     """q/k arrive AUGMENTED with two extra feature columns (wrapper):
 
       q[..., hd] = per-(b,h,t) gru_rel_pos gate   k[..., hd]   = 0
@@ -81,14 +81,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref,
     lane slice. This sidesteps Mosaic's restrictions on 1-wide / dynamic
     sublane loads and lets gate+mask ride the same DMA as q/k.
 
-    Blocks are PACKED over (bb batch rows, all H heads): one grid step
-    loops bb*H (batch, head) pairs in-kernel over the same resident tiles,
-    so the shared bias tile is DMA'd once per bb*H score tiles (not once
+    Blocks are PACKED over (bb batch rows, hb heads): one grid step loops
+    bb*hb (batch, head) pairs in-kernel over the same resident tiles, so
+    the shared bias tile is DMA'd once per bb*hb score tiles (not once
     each, as a (B, H, qi, kj) grid would), and the grid shrinks by the
     same factor — per-step overhead was what held the first version of
     this kernel to ~7% MXU. The QK^T and PV dots run in the INPUT dtype
     (f32 accumulate), so a bf16 call uses the MXU's native bf16 path
     instead of casting everything up to f32.
+
+    ``exp_base2``: compute softmax in the base-2 domain — log2(e) is
+    folded into the score scale and the (host-built) bias tiles, so
+    ``exp2(s2 - m2)`` replaces ``exp(s - m)`` and the transcendental's
+    internal x*log2e multiply disappears from the per-element hot path.
+    Algebraically identical; float deviation is one extra rounding of the
+    folded constants (~1e-7 relative on scores).
 
     Measured (v5e, B=8 T=2999 wavlm-large shapes, 2026-08): head packing
     plus block=512 bf16 lands 17.97 TF/s (16.4 ms; old per-head grid at
@@ -96,7 +103,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref,
     Packing bb>1 batch rows buys nothing further (bias DMA is already
     amortized 16x over heads) and costs VMEM that the larger block spends
     better, so batch_block defaults to 1."""
-    kj = pl.program_id(2)
+    kj = pl.program_id(3)
 
     @pl.when(kj == 0)
     def _():
@@ -105,8 +112,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def body(i, _):
-        b = i // H
-        h = i % H
+        b = i // hb
+        h = i % hb
         qa = q_ref[b, h]                                       # [blk, hd+2]
         ka = k_ref[b, h]                                       # [blk, hd+2]
         v = v_ref[b, h]                                        # [blk, hd]
@@ -127,8 +134,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref,
 
         m_prev = m_ref[b, h]                                   # [blk, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
+        if exp_base2:
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
+        else:
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
         l_ref[b, h] = l_ref[b, h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[b, h] = acc_ref[b, h] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -138,7 +149,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref,
         m_ref[b, h] = m_new
         return 0
 
-    jax.lax.fori_loop(0, bb * H, body, 0)
+    jax.lax.fori_loop(0, bb * hb, body, 0)
 
     @pl.when(kj == n_k - 1)
     def _():
@@ -158,6 +169,8 @@ def flash_gated_attention(
     max_distance: int,
     block: int = 128,
     batch_block: int | None = None,
+    head_block: int | None = None,
+    exp_base2: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -174,6 +187,12 @@ def flash_gated_attention(
         layers — so the encoder builds it once and threads it through the
         layer carry instead of paying the bucket-log construction (and a
         ~50 MB tile write at T=3000) per layer.
+      head_block: heads packed per grid step (None = all H). Smaller
+        values shrink the in-kernel fori_loop and multiply the grid's
+        parallel steps — more double-buffering overlap at the cost of
+        re-DMA'ing q/k/v tiles per head group (the bias tile stream
+        scales the same either way: (1, hb, blk, blk) slices).
+      exp_base2: softmax in the base-2 domain (see _flash_kernel).
       precision: MXU contract precision for the in-kernel dots. DEFAULT
         (the production setting) matches the einsum path's default-
         precision numerics; pass HIGHEST with f32 inputs for f32-exact
@@ -228,37 +247,49 @@ def flash_gated_attention(
         tiles = bias_tiles
         assert tiles.shape == (2 * n - 1, H, block, block), (
             tiles.shape, (2 * n - 1, H, block, block))
+    if exp_base2:
+        # fold log2(e) into the bias so the kernel's gate*bias madd needs
+        # no extra multiply; the score scale is folded below
+        tiles = tiles * math.log2(math.e)
+        scale = scale * math.log2(math.e)
     if qt.dtype == jnp.bfloat16:
         # halve the dominant DMA stream; the gate*bias term is computed in
         # f32 either way, so this only rounds the bias operand — well under
         # the bf16 path's own score rounding
         tiles = tiles.astype(jnp.bfloat16)
 
-    grid = (Bp // bb, n, n)
+    hb = H if head_block is None else min(head_block, H)
+    assert H % hb == 0, (H, hb)
+    grid = (Bp // bb, H // hb, n, n)
     kernel = functools.partial(_flash_kernel, scale=scale, n_k=n, hd=hd,
-                               bb=bb, H=H, precision=precision)
+                               bb=bb, hb=hb, precision=precision,
+                               exp_base2=exp_base2)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bb, H, block, hd + 2), lambda g, qi, kj: (g, 0, qi, 0)),
-            pl.BlockSpec((bb, H, block, hd + 2), lambda g, qi, kj: (g, 0, kj, 0)),
-            pl.BlockSpec((bb, H, block, hd), lambda g, qi, kj: (g, 0, kj, 0)),
+            pl.BlockSpec((bb, hb, block, hd + 2),
+                         lambda g, hj, qi, kj: (g, hj, qi, 0)),
+            pl.BlockSpec((bb, hb, block, hd + 2),
+                         lambda g, hj, qi, kj: (g, hj, kj, 0)),
+            pl.BlockSpec((bb, hb, block, hd),
+                         lambda g, hj, qi, kj: (g, hj, kj, 0)),
             pl.BlockSpec(
-                (1, H, block, block),
-                lambda g, qi, kj, _n=n: (kj - qi + _n - 1, 0, 0, 0),
+                (1, hb, block, block),
+                lambda g, hj, qi, kj, _n=n: (kj - qi + _n - 1, hj, 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (bb, H, block, hd), lambda g, qi, kj: (g, 0, qi, 0)),
+            (bb, hb, block, hd), lambda g, hj, qi, kj: (g, hj, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp, H, Tp, hd), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bb, H, block, 1), jnp.float32),
-            pltpu.VMEM((bb, H, block, 1), jnp.float32),
-            pltpu.VMEM((bb, H, block, hd), jnp.float32),
+            pltpu.VMEM((bb, hb, block, 1), jnp.float32),
+            pltpu.VMEM((bb, hb, block, 1), jnp.float32),
+            pltpu.VMEM((bb, hb, block, hd), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,

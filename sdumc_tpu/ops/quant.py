@@ -186,6 +186,13 @@ class QuantDense(nn.Module):
                             (in_features // 2, self.features), jnp.int8)
             scale = self.param("kernel_scale", nn.initializers.ones,
                                (k, self.features), jnp.float32)
+            if jax.default_backend() == "tpu":
+                # Pallas kernel: packed bytes DMA'd once, nibble unpack on
+                # the VPU in VMEM — the only form where HBM traffic stays
+                # at 4 bits/weight (every XLA formulation materializes the
+                # unpacked tensor; ops/pallas/int4_matmul.py header).
+                from sdumc_tpu.ops.pallas.int4_matmul import int4_matmul
+                return int4_matmul(x, wq, scale).astype(self.dtype)
             # bitcast int8 -> int4[..., 2] INSIDE the program (int4 cannot
             # cross a jit boundary on TPU in jax 0.9) and contract over the
             # nibble axis too: bitcast index 0 IS the low nibble = input

@@ -153,3 +153,28 @@ def test_flash_trainable_grads_match_einsum():
         np.testing.assert_allclose(
             np.asarray(g_got), np.asarray(g_ref), rtol=3e-4, atol=3e-5,
             err_msg=name)
+
+
+@pytest.mark.parametrize("head_block,batch_block,exp_base2", [
+    (1, 1, False),   # per-head grid
+    (2, 2, False),   # partial head + batch packing
+    (None, 1, True),  # base-2 softmax domain
+    (2, 1, True),
+])
+def test_flash_variants_match_einsum(head_block, batch_block, exp_base2):
+    """The tuning knobs (head packing factor, batch packing, base-2
+    softmax) must not change numerics — they only reshape the grid or
+    fold constants."""
+    q, k, v, gate, rel_embed, kvalid = _inputs(T=96)
+    ref = einsum_reference(q, k, v, gate, rel_embed, kvalid)
+    got = flash_gated_attention(
+        q, k, v, gate, rel_embed, kvalid,
+        num_buckets=NB, max_distance=MD, block=32,
+        head_block=head_block, batch_block=batch_block,
+        exp_base2=exp_base2, interpret=True)
+    mask = np.asarray(kvalid)[:, :, None, None] > 0
+    np.testing.assert_allclose(
+        np.where(mask, np.asarray(got), 0.0),
+        np.where(mask, np.asarray(ref), 0.0),
+        rtol=2e-5, atol=2e-5,
+    )

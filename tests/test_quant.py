@@ -244,3 +244,46 @@ def test_w8a8_beam_decode_runs(tiny_pair):
         num_beams=4, max_new_tokens=6, eos_id=-1))(qparams)
     assert int(np.asarray(got["n_steps"]).max()) == 6
     assert np.isfinite(np.asarray(got["taps"], np.float32)).all()
+
+
+def test_pallas_int4_matmul_matches_dequant_dense():
+    """The fused-unpack Pallas kernel (ops/pallas/int4_matmul.py) must
+    equal dequantize-then-dense up to bf16 rounding: the kernel applies
+    the group scale on the bf16 weight operand instead of the f32
+    partial, so tolerance is the bf16 grid (~0.8%), not exactness."""
+    from sdumc_tpu.ops.pallas.int4_matmul import int4_matmul
+    from sdumc_tpu.ops.quant import dequantize_kernel_int4, quantize_kernel_int4
+
+    rng = np.random.default_rng(11)
+    n_in, n_out, rows = 256, 384, 5
+    w = jnp.asarray(rng.normal(size=(n_in, n_out)).astype(np.float32) * 0.02)
+    packed, scale = quantize_kernel_int4(w, group=128)
+    x = jnp.asarray(rng.normal(size=(rows, n_in)).astype(np.float32))
+
+    ref = (x.astype(jnp.bfloat16)
+           @ dequantize_kernel_int4(packed, scale, jnp.bfloat16))
+    got = int4_matmul(x, packed, scale, out_block=128, interpret=True)
+    assert got.shape == (rows, n_out) and got.dtype == jnp.bfloat16
+    rel = float(jnp.linalg.norm((got - ref).astype(jnp.float32))
+                / jnp.linalg.norm(ref.astype(jnp.float32)))
+    assert rel < 1.2e-2, rel
+
+
+def test_pallas_int4_matmul_leading_dims_and_padding():
+    """Odd row counts (pad to sublane 8) and 3-D leading shapes must
+    round-trip; out_block larger than OUT exercises the output pad."""
+    from sdumc_tpu.ops.pallas.int4_matmul import int4_matmul
+    from sdumc_tpu.ops.quant import dequantize_kernel_int4, quantize_kernel_int4
+
+    rng = np.random.default_rng(12)
+    n_in, n_out = 128, 136
+    w = jnp.asarray(rng.normal(size=(n_in, n_out)).astype(np.float32) * 0.05)
+    packed, scale = quantize_kernel_int4(w, group=128)
+    x = jnp.asarray(rng.normal(size=(2, 3, n_in)).astype(np.float32))
+    ref = (x.astype(jnp.bfloat16)
+           @ dequantize_kernel_int4(packed, scale, jnp.bfloat16))
+    got = int4_matmul(x, packed, scale, out_block=256, interpret=True)
+    assert got.shape == (2, 3, n_out)
+    rel = float(jnp.linalg.norm((got - ref).astype(jnp.float32))
+                / jnp.linalg.norm(ref.astype(jnp.float32)))
+    assert rel < 1.2e-2, rel
