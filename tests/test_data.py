@@ -17,6 +17,8 @@ from sdumc_tpu.data.collate import bucket_for, scale_compress
 from sdumc_tpu.data.pipeline import BatchIterator, build_loaders
 
 
+pytestmark = pytest.mark.fast  # pre-commit smoke tier (PARITY.md)
+
 @pytest.fixture(scope="module")
 def ref_read_data():
     """Golden: execute just func_mapping_feature from the reference file

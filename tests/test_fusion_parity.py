@@ -23,6 +23,8 @@ from sdumc_tpu.models.fusion import SDUMCFusion
 INPUT_DIMS = (48, 96, 48)  # small stand-ins for (1024, 4096, 1024)
 
 
+pytestmark = pytest.mark.fast  # pre-commit smoke tier (PARITY.md)
+
 @pytest.fixture(scope="module")
 def torch_model(ref_model_module):
     args = types.SimpleNamespace(input_dims=list(INPUT_DIMS))

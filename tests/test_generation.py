@@ -51,6 +51,7 @@ def _prompt(seed, P, D):
     return (rng.normal(size=(1, P, D)) * 0.5).astype(np.float32)
 
 
+@pytest.mark.fast  # pre-commit smoke tier: one real decode-vs-HF pin
 def test_greedy_matches_hf(setup):
     hf, cfg, apply_fn, embed_fn = setup
     prompt = _prompt(0, 5, cfg.hidden_size)

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from sdumc_tpu import losses
 
 
+pytestmark = pytest.mark.fast  # pre-commit smoke tier (PARITY.md)
+
 def _np(x):
     return np.asarray(x)
 

@@ -1,10 +1,13 @@
 """MOSEI metric suite tests (vs sklearn where the reference used sklearn)."""
 
 import numpy as np
+import pytest
 from sklearn.metrics import accuracy_score, f1_score, mean_squared_error
 
 from sdumc_tpu.core.metrics import calculate_binary_results, eval_mosei_metric, overall_metric
 
+
+pytestmark = pytest.mark.fast  # pre-commit smoke tier (PARITY.md)
 
 def test_eval_mosei_metric_keys_and_values():
     rng = np.random.default_rng(0)

@@ -12,6 +12,8 @@ from sdumc_tpu.data.collate import mapping_feature
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+pytestmark = pytest.mark.fast  # pre-commit smoke tier (PARITY.md)
+
 @pytest.fixture(scope="module", autouse=True)
 def built_library():
     if not native.available():

@@ -50,6 +50,7 @@ def _to_batch(batch_np, T, mesh=None):
     return d
 
 
+@pytest.mark.fast
 def test_mesh_construction():
     mesh = make_mesh()
     assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
@@ -84,6 +85,7 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.fast  # pre-commit smoke tier: 8-device CPU mesh eval step
 def test_dp_eval_step_sharded_output():
     model, params, batch_np, T = _setup()
     mesh = make_mesh()
