@@ -220,8 +220,8 @@ def bench_train(precision: str | None = None, want_roofline: bool = False,
 
 
 def _host_feat_root() -> tuple:
-    """Materialize the synthetic clips as .npy files AND a packed store
-    (once per host); returns (feat_root, names)."""
+    """Materialize the synthetic clips as .npy files AND packed stores
+    (f32 + bf16, once per host); returns (feat_root, names)."""
     import shutil
 
     from sdumc_tpu.data.feature_store import SyntheticSource
@@ -229,7 +229,7 @@ def _host_feat_root() -> tuple:
 
     feat_root = "/tmp/sdumc_bench_feats"
     names = [f"clip_{b}_{i}" for b in range(N_BATCHES) for i in range(BATCH_SIZE)]
-    marker = os.path.join(feat_root, ".complete_v2")
+    marker = os.path.join(feat_root, ".complete_v3")
     if not os.path.exists(marker):
         shutil.rmtree(feat_root, ignore_errors=True)
         for key, (d, lo, hi) in REGIMES.items():
@@ -239,11 +239,44 @@ def _host_feat_root() -> tuple:
                 np.save(os.path.join(feat_root, key, f"{n}.npy"), src.get(n))
             pack_features(os.path.join(feat_root, key),
                           os.path.join(feat_root, key))
+            pack_features(os.path.join(feat_root, key),
+                          os.path.join(feat_root, key) + "_bf16",
+                          dtype="bfloat16")
         open(marker, "w").close()
     return feat_root, names
 
 
-def bench_host_pipeline(packed: bool = False) -> float:
+def _host_memcpy_gbps() -> float:
+    """Single-core streaming-copy bound of this host (pre-touched pages,
+    192 MB working set — larger than any LLC so the number is DRAM, not
+    cache; best of 3). The packed producer is pure memcpy/memset, so this
+    is its speed-of-light."""
+    a = np.empty(192 << 20, np.uint8)
+    a[:] = 1
+    b = np.empty(192 << 20, np.uint8)
+    b[:] = 2
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b[:] = a
+        dt = time.perf_counter() - t0
+        best = max(best, 2 * a.nbytes / dt / 1e9)
+    return best
+
+
+def _packed_dataset(feat_root, names, dtype: str):
+    from sdumc_tpu.data.packed import PackedSource
+    from sdumc_tpu.data.pipeline import MoseiDataset
+
+    suffix = "_bf16" if dtype == "bfloat16" else ""
+    sources = {k: PackedSource(os.path.join(feat_root, k) + suffix, k)
+               for k in REGIMES}
+    labels = [{"emo": 0.0, "val": 0.0} for _ in names]
+    return MoseiDataset(names, labels, sources)
+
+
+def bench_host_pipeline(packed: bool = False, dtype: str = "float32",
+                        want_gbps: bool = False):
     """Host input-pipeline production rate: features on disk ->
     BatchIterator -> device-ready numpy batches, with background prefetch.
     This is the producer side of the production loop (reference contract
@@ -251,43 +284,119 @@ def bench_host_pipeline(packed: bool = False) -> float:
 
     packed=False: per-clip .npy files (C++ thread-pooled fill when built,
     else python mmap) — the reference's on-disk layout. packed=True: the
-    packed single-blob store (data/packed.py + sdumc_fill_batch_packed) —
-    the production layout, auto-selected by build_sources when a pack
-    exists; index-only length probes, no per-clip file opens.
+    packed single-blob store (data/packed.py + the single-touch mmap fill
+    sdumc_fill_batch_packed2) — the production layout, auto-selected by
+    build_sources when a pack exists; index-only length probes, no per-clip
+    file opens, ring-buffer reuse (reuse_buffers=3, prefetch=1: measured
+    faster than deeper rings on this host — the write working set outgrows
+    the cache hierarchy). dtype='bfloat16' reads a bf16 blob and emits bf16
+    batches: half the host bytes, and the device path consumes bf16
+    features anyway (DataConfig.feature_dtype), so no cast remains.
 
-    Measured host-side on purpose: this bench host reaches the chip over a
-    dev tunnel (~10 MB/s h2d — measured; a colocated TPU host streams
-    >10 GB/s over DMA), so an in-loop transfer measurement would benchmark
-    the tunnel, not the framework. The steady-state throughput of the
-    overlapped producer/consumer pipeline is min(host rate, device rate);
-    bench.py reports both and that bound."""
+    With want_gbps, also returns the achieved host memory traffic
+    (payload read + payload write, the irreducible two touches) in GB/s —
+    compare against _host_memcpy_gbps() for the bound proof."""
     from sdumc_tpu.data.feature_store import NpyDirSource
-    from sdumc_tpu.data.packed import PackedSource
     from sdumc_tpu.data.pipeline import BatchIterator, MoseiDataset
 
     feat_root, names = _host_feat_root()
     if packed:
-        sources = {k: PackedSource(os.path.join(feat_root, k), k)
-                   for k in REGIMES}
+        ds = _packed_dataset(feat_root, names, dtype)
+        it = BatchIterator(ds, BATCH_SIZE, shuffle=False, buckets=BUCKETS,
+                           prefetch=1, reuse_buffers=3)
     else:
         sources = {k: NpyDirSource(feat_root, k) for k in REGIMES}
-    labels = [{"emo": 0.0, "val": 0.0} for _ in names]
-    ds = MoseiDataset(names, labels, sources)
-
-    def run_epoch():
+        labels = [{"emo": 0.0, "val": 0.0} for _ in names]
+        ds = MoseiDataset(names, labels, sources)
         it = BatchIterator(ds, BATCH_SIZE, shuffle=False, buckets=BUCKETS,
                            prefetch=4)
+
+    def run_epoch():
         got = 0
         for b in it:
             got += b.size
         assert got == N_CLIPS, got
 
-    run_epoch()  # warm the page cache
+    run_epoch()  # warm page cache
+    run_epoch()  # fault in the ring buffers
     t0 = time.perf_counter()
     for _ in range(TIMED_EPOCHS):
         run_epoch()
     dt = time.perf_counter() - t0
-    return TIMED_EPOCHS * N_CLIPS / dt
+    cps = TIMED_EPOCHS * N_CLIPS / dt
+    if not want_gbps:
+        return cps
+    esize = 2 if dtype == "bfloat16" else 4
+    payload = sum(
+        src.length_of(n) * src.dim * esize
+        for src in ds.sources.values() for n in names)
+    return cps, TIMED_EPOCHS * 2 * payload / dt / 1e9
+
+
+def bench_e2e_overlapped():
+    """MEASURED overlapped producer/consumer end-to-end rate (not a
+    min(host, device) model): a producer thread runs the production host
+    pipeline (bf16 packed store, ring buffers) while the consumer dispatches
+    the jitted dual-view train step for every produced batch; one device
+    sync at the end. Wall-clock covers both legs concurrently, so the
+    result reflects real overlap (including GIL/dispatch interference on
+    this 1-core host).
+
+    The h2d transfer leg uses pre-staged device batches because this bench
+    host reaches the chip over a dev tunnel (~10 MB/s measured; a colocated
+    TPU host DMAs >10 GB/s, where the 128-clip bf16 batch is ~335 MB ->
+    ~30 ms, fully overlappable at these rates). The produced host batches
+    are identical in shape/dtype to the staged ones."""
+    import queue as queue_mod
+    import threading
+
+    import jax
+
+    from sdumc_tpu.cli.common import build_model_and_params
+    from sdumc_tpu.core.config import ExperimentConfig
+    from sdumc_tpu.data.pipeline import BatchIterator
+    from sdumc_tpu.train.state import create_train_state
+    from sdumc_tpu.train.step import make_train_step
+
+    feat_root, names = _host_feat_root()
+    ds = _packed_dataset(feat_root, names, "bfloat16")
+    it = BatchIterator(ds, BATCH_SIZE, shuffle=False, buckets=BUCKETS,
+                       prefetch=1, reuse_buffers=3)
+
+    model, params = build_model_and_params(ExperimentConfig(), DIMS)
+    state = create_train_state(model, jax.device_put(params), lambda s: 1e-4,
+                               l2=1e-5)
+    step = make_train_step(model, ExperimentConfig().loss)
+    rng = jax.random.PRNGKey(0)
+    device_batches = stage_device_batches("bfloat16")
+
+    # compile every bucket combo + warm pipeline/ring
+    for i, _ in enumerate(it):
+        state, m = step(state, device_batches[i % N_BATCHES], rng)
+    float(jax.device_get(m["loss"]))
+
+    def producer(q):
+        for _ in range(TIMED_EPOCHS):
+            for b in it:
+                q.put(b.size)
+        q.put(None)
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+    t = threading.Thread(target=producer, args=(q,), daemon=True)
+    t0 = time.perf_counter()
+    t.start()
+    n, i, metrics = 0, 0, None
+    while True:
+        got = q.get()
+        if got is None:
+            break
+        state, metrics = step(state, device_batches[i % N_BATCHES], rng)
+        n += got
+        i += 1
+    float(jax.device_get(metrics["loss"]))  # device drain barrier
+    dt = time.perf_counter() - t0
+    assert n == TIMED_EPOCHS * N_CLIPS
+    return n / dt
 
 
 def bench_torch_reference() -> float:
@@ -405,6 +514,10 @@ def main():
                                       want_roofline=True)
     host_cps = bench_host_pipeline()
     host_packed_cps = bench_host_pipeline(packed=True)
+    host_bf16_cps, host_bf16_gbps = bench_host_pipeline(
+        packed=True, dtype="bfloat16", want_gbps=True)
+    memcpy_bound = _host_memcpy_gbps()
+    e2e_cps = bench_e2e_overlapped()
     base = baseline.get("clips_per_sec") or float("nan")
     vs = ours / base if np.isfinite(base) and base > 0 else None
     import jax
@@ -418,17 +531,25 @@ def main():
         "f32_features_clips_per_sec": round(ours_f32, 2),
         "train_clips_per_sec": round(train_cps, 2),
         "train_f32_features_clips_per_sec": round(train_f32_cps, 2),
-        # producer/consumer: steady-state e2e = min(host pipeline, device);
-        # measured separately because this host reaches the chip over a
-        # ~10 MB/s dev tunnel (a colocated TPU host streams GB/s over DMA,
-        # so the transfer leg is never the binding constraint there)
+        # host producer rates: .npy dir (reference layout), f32 packed blob,
+        # and the production bf16 packed blob (single-touch mmap fill + ring
+        # buffers — bf16 halves the bytes and the device consumes bf16)
         "host_pipeline_clips_per_sec": round(host_cps, 2),
-        # packed single-blob store — the production layout (build_sources
-        # auto-selects it when a pack exists); e2e rate uses this producer
         "host_pipeline_packed_clips_per_sec": round(host_packed_cps, 2),
-        "e2e_clips_per_sec": round(min(host_packed_cps, ours), 2),
-        "e2e_vs_devicestaged_pct": round(
-            100 * min(host_packed_cps, ours) / ours, 1),
+        "host_pipeline_packed_bf16_clips_per_sec": round(host_bf16_cps, 2),
+        # bound proof: achieved host memory traffic (payload read + payload
+        # write — the two irreducible touches) vs this host's measured
+        # single-core streaming-copy bound. The producer is pure
+        # memcpy/memset; there is no disk leg (page cache) on this host.
+        "host_gbps": round(host_bf16_gbps, 2),
+        "host_memcpy_bound_gbps": round(memcpy_bound, 2),
+        "host_pct_of_memcpy_bound": round(
+            100 * host_bf16_gbps / memcpy_bound, 1),
+        # MEASURED overlapped producer/consumer run (bench_e2e_overlapped):
+        # producer thread makes every host batch while the consumer
+        # dispatches the train step per produced batch; NOT a min() model.
+        "e2e_clips_per_sec": round(e2e_cps, 2),
+        "e2e_vs_train_pct": round(100 * e2e_cps / train_cps, 1),
         # roofline: XLA cost analysis over every timed program call (see
         # sdumc_tpu/utils/roofline.py; peaks = public v5e specs). The
         # unsuffixed rooflines attribute the headline bf16 numbers; the

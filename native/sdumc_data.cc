@@ -11,6 +11,11 @@
 //
 // Build: native/build.sh  ->  native/libsdumc_data.so
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -21,6 +26,7 @@
 #include <queue>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -209,6 +215,141 @@ ThreadPool* pool() {
   return &p;
 }
 
+// ------------------------------------------------------------- mmap cache
+// One process-lifetime read-only mapping per packed blob: clip reads become
+// direct memcpy from page cache into the batch buffer (one copy, vs the
+// fread path's copy-into-scratch + copy-into-batch).
+struct Mapping {
+  const uint8_t* ptr = nullptr;
+  size_t size = 0;
+};
+
+Mapping map_blob(const std::string& path) {
+  static std::mutex mu;
+  static std::unordered_map<std::string, Mapping> cache;
+  std::unique_lock<std::mutex> lk(mu);
+  auto it = cache.find(path);
+  if (it != cache.end()) return it->second;
+  Mapping m;
+  int fd = open(path.c_str(), O_RDONLY);
+  if (fd >= 0) {
+    struct stat st;
+    if (fstat(fd, &st) == 0 && st.st_size > 0) {
+      void* p = mmap(nullptr, size_t(st.st_size), PROT_READ, MAP_SHARED, fd, 0);
+      if (p != MAP_FAILED) {
+        m.ptr = static_cast<const uint8_t*>(p);
+        m.size = size_t(st.st_size);
+      }
+    }
+    close(fd);
+  }
+  cache[path] = m;  // negative results cached too: missing file fails fast
+  return m;
+}
+
+// ------------------------------------------------------------- bf16 <-> f32
+inline float bf16_to_f32(uint16_t h) {
+  uint32_t u = uint32_t(h) << 16;
+  float f;
+  memcpy(&f, &u, 4);
+  return f;
+}
+
+inline uint16_t f32_to_bf16(float f) {  // round-to-nearest-even
+  uint32_t u;
+  memcpy(&u, &f, 4);
+  u += 0x7FFFu + ((u >> 16) & 1u);
+  return uint16_t(u >> 16);
+}
+
+// Single-touch packed-clip fill: copy/compress src (rows x cols, elem_size
+// bytes from the mapped blob) into dst (bucket x dim, same dtype), zeroing
+// ONLY the pad bytes — every output byte is written exactly once (the hot
+// producer is host-memory-bandwidth-bound on 1-core hosts, so redundant
+// memsets cost throughput one-for-one).
+// zero_upto: rows in [written, zero_upto) are memset; pass `bucket` for a
+// fresh (uninitialized) buffer, or the previous fill's written extent for a
+// reused ring buffer whose tail is already zero (see fill_batch_packed's
+// `prev_rows`).
+template <typename T>
+void fill_clip(const T* src, int64_t rows, int64_t cols, T* dst,
+               int64_t bucket, int64_t dim, int64_t zero_upto) {
+  const int64_t n = cols;  // caller guarantees cols <= dim
+  if (rows <= bucket) {
+    if (n == dim) {
+      // contiguous in both src and dst: ONE streaming memcpy for the whole
+      // clip (glibc uses non-temporal/ERMS copies at this size — per-row
+      // 2 KB memcpys run ~3x slower on the RFO path)
+      memcpy(dst, src, size_t(rows) * dim * sizeof(T));
+    } else {
+      for (int64_t t = 0; t < rows; ++t) {
+        memcpy(dst + t * dim, src + t * cols, n * sizeof(T));
+        memset(dst + t * dim + n, 0, (dim - n) * sizeof(T));
+      }
+    }
+    if (rows < zero_upto)
+      memset(dst + rows * dim, 0, size_t(zero_upto - rows) * dim * sizeof(T));
+    return;
+  }
+  // mean-pool compress (func_mapping_feature semantics, read_data.py:120-137)
+  const int64_t pool =
+      (rows % bucket == 0) ? rows / bucket : rows / bucket + 1;
+  const int64_t pad = pool * bucket - rows;  // virtual leading zero rows
+  std::vector<float> acc(n);
+  const float inv = 1.0f / float(pool);
+  for (int64_t t = 0; t < bucket; ++t) {
+    std::fill(acc.begin(), acc.end(), 0.0f);
+    for (int64_t p = 0; p < pool; ++p) {
+      const int64_t s = t * pool + p - pad;
+      if (s < 0) continue;
+      const T* sr = src + s * cols;
+      for (int64_t c = 0; c < n; ++c) acc[c] += float(sr[c]);
+    }
+    T* row = dst + t * dim;
+    for (int64_t c = 0; c < n; ++c) row[c] = T(acc[c] * inv);
+    if (n < dim) memset(row + n, 0, (dim - n) * sizeof(T));
+  }
+}
+
+// uint16 payloads are bf16 bits: specialize the accumulate/convert steps.
+template <>
+void fill_clip<uint16_t>(const uint16_t* src, int64_t rows, int64_t cols,
+                         uint16_t* dst, int64_t bucket, int64_t dim,
+                         int64_t zero_upto) {
+  const int64_t n = cols;
+  if (rows <= bucket) {
+    if (n == dim) {
+      memcpy(dst, src, size_t(rows) * dim * sizeof(uint16_t));
+    } else {
+      for (int64_t t = 0; t < rows; ++t) {
+        memcpy(dst + t * dim, src + t * cols, n * sizeof(uint16_t));
+        memset(dst + t * dim + n, 0, (dim - n) * sizeof(uint16_t));
+      }
+    }
+    if (rows < zero_upto)
+      memset(dst + rows * dim, 0,
+             size_t(zero_upto - rows) * dim * sizeof(uint16_t));
+    return;
+  }
+  const int64_t pool =
+      (rows % bucket == 0) ? rows / bucket : rows / bucket + 1;
+  const int64_t pad = pool * bucket - rows;
+  std::vector<float> acc(n);
+  const float inv = 1.0f / float(pool);
+  for (int64_t t = 0; t < bucket; ++t) {
+    std::fill(acc.begin(), acc.end(), 0.0f);
+    for (int64_t p = 0; p < pool; ++p) {
+      const int64_t s = t * pool + p - pad;
+      if (s < 0) continue;
+      const uint16_t* sr = src + s * cols;
+      for (int64_t c = 0; c < n; ++c) acc[c] += bf16_to_f32(sr[c]);
+    }
+    uint16_t* row = dst + t * dim;
+    for (int64_t c = 0; c < n; ++c) row[c] = f32_to_bf16(acc[c] * inv);
+    if (n < dim) memset(row + n, 0, (dim - n) * sizeof(uint16_t));
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -311,6 +452,80 @@ int sdumc_fill_batch_packed(const char* bin_path, const int64_t* offs,
   return failed.load() ? -1 : 0;
 }
 
-int sdumc_version() { return 2; }
+// Single-touch mmap packed fill (v3 fast path; supersedes the fread-based
+// sdumc_fill_batch_packed for the hot producer). dtype: 0 = float32,
+// 1 = bfloat16 — blob payload and dst share it. offs are in ELEMENTS.
+// Every dst byte is written at most once (payload memcpy or pad memset).
+//
+// prev_rows: NULL for a fresh (uninitialized) buffer -> pad rows are zeroed
+// up to `bucket`. For a REUSED ring buffer pass the previous fill's written
+// extents: slot b only zeroes rows [rows[b], prev_rows[b]) because rows
+// beyond the previous extent are still zero (invariant: after every fill,
+// rows [extent, bucket) are zero). This skips both the pad memset and the
+// fresh-page faults — the producer is host-memory-bandwidth-bound, so
+// bytes not touched are throughput won. Returns 0 on success.
+int sdumc_fill_batch_packed2(const char* bin_path, const int64_t* offs,
+                             const int64_t* rows, const int64_t* cols,
+                             int64_t batch, int64_t bucket, int64_t dim,
+                             void* dst, int64_t* lengths, int dtype,
+                             const int64_t* prev_rows) {
+  const size_t esize = dtype == 1 ? 2 : 4;
+  Mapping m = map_blob(bin_path);
+  if (!m.ptr) return -1;
+  // bounds check up front so worker tasks can't fault on a bad index
+  for (int64_t b = 0; b < batch; ++b) {
+    if (cols[b] > dim || offs[b] < 0 ||
+        size_t(offs[b] + rows[b] * cols[b]) * esize > m.size)
+      return -1;
+  }
+  auto fill_one = [&](int64_t b) {
+    const int64_t zero_upto =
+        prev_rows ? std::min(std::max(prev_rows[b], rows[b]), bucket)
+                  : bucket;
+    if (dtype == 1) {
+      fill_clip<uint16_t>(
+          reinterpret_cast<const uint16_t*>(m.ptr) + offs[b], rows[b],
+          cols[b], static_cast<uint16_t*>(dst) + b * bucket * dim, bucket,
+          dim, zero_upto);
+    } else {
+      fill_clip<float>(reinterpret_cast<const float*>(m.ptr) + offs[b],
+                       rows[b], cols[b],
+                       static_cast<float*>(dst) + b * bucket * dim, bucket,
+                       dim, zero_upto);
+    }
+    lengths[b] = std::min(rows[b], bucket);
+  };
+  const unsigned hc = std::thread::hardware_concurrency();
+  if (hc <= 1) {
+    // single-core host: the fill is pure memcpy/memset (memory-bound), so
+    // pool handoffs are pure loss — run inline (caller already dropped
+    // the GIL at the ctypes boundary)
+    for (int64_t b = 0; b < batch; ++b) fill_one(b);
+    return 0;
+  }
+  // multi-core: contiguous clip chunks, ~2 tasks per worker for balance
+  const int64_t nchunks =
+      std::min<int64_t>(batch, int64_t(std::max(4u, hc)) * 2);
+  const int64_t per = (batch + nchunks - 1) / nchunks;
+  std::atomic<int64_t> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  for (int64_t c = 0; c < nchunks; ++c) {
+    pool()->submit([&, c] {
+      const int64_t lo = c * per;
+      const int64_t hi = std::min(batch, lo + per);
+      for (int64_t b = lo; b < hi; ++b) fill_one(b);
+      if (done.fetch_add(1) + 1 == nchunks) {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.notify_all();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == nchunks; });
+  return 0;
+}
+
+int sdumc_version() { return 3; }
 
 }  // extern "C"

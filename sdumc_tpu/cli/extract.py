@@ -47,8 +47,13 @@ def main(argv=None):
         p = argparse.ArgumentParser()
         p.add_argument("--src_dir", required=True)
         p.add_argument("--out_prefix", required=True)
+        p.add_argument("--dtype", default="float32",
+                       choices=("float32", "bfloat16"),
+                       help="blob payload dtype; bfloat16 halves disk and "
+                            "host-pipeline bytes (the production training "
+                            "path consumes bf16 features anyway)")
         a = p.parse_args(rest)
-        print(pack_features(a.src_dir, a.out_prefix))
+        print(pack_features(a.src_dir, a.out_prefix, dtype=a.dtype))
         return 0
     else:
         print(__doc__)

@@ -72,35 +72,66 @@ def fill_batch(paths: List[str], bucket: int, dim: int) -> Tuple[np.ndarray, np.
 
 
 def fill_batch_packed(bin_path: str, entries: List[Tuple[int, int, int]],
-                      bucket: int, dim: int) -> Tuple[np.ndarray, np.ndarray]:
+                      bucket: int, dim: int, dtype: str = "float32",
+                      out: Optional[np.ndarray] = None,
+                      prev_lengths: Optional[np.ndarray] = None,
+                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Parallel-read clips from a packed blob (data/packed.py layout) into a
     zero-padded [B, bucket, dim] batch with the same pad-or-compress
-    semantics as fill_batch. ``entries`` are (float_offset, rows, cols)
-    triples from the PackedSource index."""
+    semantics as fill_batch. ``entries`` are (element_offset, rows, cols)
+    triples from the PackedSource index; ``dtype`` is the blob's payload
+    dtype ('float32' | 'bfloat16') and the output dtype.
+
+    Uses the single-touch mmap fill (sdumc_fill_batch_packed2): every output
+    byte is written at most once in C++, so the batch buffer is allocated
+    UNINITIALIZED here — the producer is host-memory-bandwidth-bound and a
+    redundant zero pass costs throughput one-for-one.
+
+    Ring-buffer reuse: pass ``out`` (a buffer from a previous call) together
+    with ``prev_lengths`` (that call's returned lengths). Rows beyond each
+    slot's previous extent are still zero, so the pad memset shrinks to
+    [new_len, prev_len) — and reuse avoids fresh-page faults entirely."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("native library not built; run native/build.sh")
     if not hasattr(lib, "_packed_bound"):
-        lib.sdumc_fill_batch_packed.restype = ctypes.c_int
-        lib.sdumc_fill_batch_packed.argtypes = [
+        lib.sdumc_fill_batch_packed2.restype = ctypes.c_int
+        lib.sdumc_fill_batch_packed2.argtypes = [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
         ]
         lib._packed_bound = True
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        np_dtype, dt_code = np.dtype(ml_dtypes.bfloat16), 1
+    else:
+        np_dtype, dt_code = np.dtype(np.float32), 0
     b = len(entries)
     offs = np.ascontiguousarray([e[0] for e in entries], np.int64)
     rows = np.ascontiguousarray([e[1] for e in entries], np.int64)
     cols = np.ascontiguousarray([e[2] for e in entries], np.int64)
-    out = np.zeros((b, bucket, dim), np.float32)
-    lengths = np.zeros((b,), np.int64)
     i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
-    rc = lib.sdumc_fill_batch_packed(
+    if out is None:
+        out = np.empty((b, bucket, dim), np_dtype)
+        prev_p = None
+    else:
+        assert out.shape == (b, bucket, dim) and out.dtype == np_dtype
+        if prev_lengths is None:
+            prev_p = None  # unknown history: full pad zeroing
+        else:
+            prev = np.ascontiguousarray(prev_lengths, np.int64)
+            assert prev.shape == (b,)
+            prev_p = i64p(prev)
+    lengths = np.empty((b,), np.int64)
+    rc = lib.sdumc_fill_batch_packed2(
         bin_path.encode(), i64p(offs), i64p(rows), i64p(cols),
-        b, bucket, dim,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), i64p(lengths))
+        b, bucket, dim, ctypes.c_void_p(out.ctypes.data), i64p(lengths),
+        dt_code, prev_p)
     if rc != 0:
         raise IOError(f"native packed batch fill failed ({b} clips)")
     return out, lengths

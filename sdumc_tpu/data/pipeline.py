@@ -70,6 +70,7 @@ class BatchIterator:
         prefetch: int = 4,
         shard_index: int = 0,
         shard_count: int = 1,
+        reuse_buffers: int = 0,
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -82,6 +83,20 @@ class BatchIterator:
         self.prefetch = prefetch
         self.shard_index = shard_index
         self.shard_count = shard_count
+        # Ring-buffer reuse for the packed fast path: batch buffers are
+        # recycled in a ring of this depth instead of freshly allocated —
+        # skips fresh-page faults and shrinks the pad memset to the rows the
+        # previous occupant dirtied (sdumc_fill_batch_packed2 prev_rows).
+        # A batch's arrays are OVERWRITTEN once `reuse_buffers` newer batches
+        # have been produced, so the consumer must copy (e.g. device_put)
+        # within that window; it must exceed prefetch depth + consumer holds.
+        # 0 disables (fresh buffers, always safe).
+        self.reuse_buffers = reuse_buffers
+        if reuse_buffers:
+            assert reuse_buffers >= prefetch + 2, (
+                "ring depth must cover the prefetch queue plus the batch "
+                "the consumer holds plus the one being produced")
+        self._rings: Dict[tuple, list] = {}
 
     def _order(self) -> np.ndarray:
         n = len(self.ds)
@@ -124,24 +139,52 @@ class BatchIterator:
             isinstance(s, PackedSource) for s in self.ds.sources.values()
         )
 
+    def _ring_slot(self, key: str, bucket: int, b: int, np_dtype):
+        """Rotating (buffer, prev_lengths) slot for the packed fast path."""
+        rk = (key, bucket, b)
+        ring = self._rings.get(rk)
+        if ring is None:
+            dim = self.ds.sources[key].dim
+            # np.zeros is lazy (calloc): untouched pad pages stay virtual.
+            # prev_lengths=0 tells the fill "everything is already zero".
+            ring = self._rings[rk] = [
+                [np.zeros((b, bucket, dim), np_dtype), np.zeros(b, np.int64)]
+                for _ in range(self.reuse_buffers)
+            ] + [0]  # rotation counter
+        i = ring[-1] % self.reuse_buffers
+        ring[-1] += 1
+        return ring[i]
+
     def _packed_batch(self, chunk) -> Batch:
         """Packed-store fast path: per-modality lengths come from the JSON
         index (no file probes at all), the batch fill is one
-        sdumc_fill_batch_packed call into the blob (C++ thread pool; python
-        mmap gather fallback) — the production producer for training
-        (reference contract read_data.py:70-91, minus the 12-process pool
-        and the per-clip file opens)."""
+        sdumc_fill_batch_packed2 call into the blob (single-touch mmap
+        memcpy on the C++ thread pool; python mmap gather fallback) — the
+        production producer for training (reference contract
+        read_data.py:70-91, minus the 12-process pool and the per-clip file
+        opens). Output dtype == the store's payload dtype (pack bf16 for
+        the production path: half the host bytes, no device-side cast)."""
+        from sdumc_tpu.data import native as native_mod
         from sdumc_tpu.data.collate import bucket_for
         from sdumc_tpu.data.packed import fill_batch_from_packed
 
         names = [self.ds.names[int(i)] for i in chunk]
+        use_ring = self.reuse_buffers and native_mod.available()
         mats, t_max, lengths = {}, [], []
         for key in ("audio", "text", "video", "feat4"):
             src = self.ds.sources[key]
             lens = [src.length_of(n) for n in names]
             tm = min(max(lens), self.buckets[-1])
             bucket = bucket_for(tm, self.buckets)
-            batch, _ = fill_batch_from_packed(src, names, bucket, src.dim)
+            if use_ring:
+                slot = self._ring_slot(key, bucket, len(names), src._dtype)
+                entries = [tuple(src._index[n]) for n in names]
+                batch, got = native_mod.fill_batch_packed(
+                    src._prefix + ".bin", entries, bucket, src.dim,
+                    dtype=src.dtype_name, out=slot[0], prev_lengths=slot[1])
+                slot[1] = got
+            else:
+                batch, _ = fill_batch_from_packed(src, names, bucket, src.dim)
             mats[key] = batch
             t_max.append(tm)
             lengths.append(np.minimum(lens, self.buckets[-1]))

@@ -327,3 +327,52 @@ def test_build_sources_prefers_packed_store(tmp_path):
     assert isinstance(sources["text"], PackedSource)
     assert isinstance(sources["feat4"], PackedSource)
     assert isinstance(sources["video"], NpyDirSource)
+
+
+def test_ring_buffer_iterator_matches_fresh_buffers(tmp_path):
+    """reuse_buffers ring mode must yield payload-identical batches to the
+    fresh-buffer packed path when the consumer copies within the ring
+    window (here: immediately). Multi-epoch: ring slots get re-filled with
+    different occupants, exercising the prev_rows partial pad-zeroing."""
+    import os
+
+    from sdumc_tpu.data import native
+    from sdumc_tpu.data.packed import PackedSource, pack_features
+    from sdumc_tpu.data.pipeline import MoseiDataset
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(13)
+    names = [f"c{i}" for i in range(8)]
+    dims = {"audio": 6, "text": 8, "video": 6, "feat4": 8}
+    for key, d in dims.items():
+        os.makedirs(tmp_path / key)
+        for n in names:
+            # lengths straddle bucket edges incl. an overlong (compress) clip
+            arr = rng.normal(size=(int(rng.integers(2, 40)), d)).astype(np.float32)
+            np.save(tmp_path / key / f"{n}.npy", arr)
+        pack_features(str(tmp_path / key), str(tmp_path / key),
+                      dtype="bfloat16")
+
+    labels = [{"emo": 0.0, "val": float(i)} for i in range(8)]
+    ds = MoseiDataset(names, labels,
+                      {k: PackedSource(str(tmp_path / k), k) for k in dims})
+    kw = dict(shuffle=True, seed=5, buckets=(8, 16, 32))
+    ring_it = BatchIterator(ds, 4, prefetch=1, reuse_buffers=3, **kw)
+    fresh_it = BatchIterator(ds, 4, prefetch=0, **kw)
+    for epoch in range(3):  # same epoch => same shuffle order across the two
+        ring_it.epoch = fresh_it.epoch = epoch
+        for rb, gb in zip(ring_it, fresh_it):
+            assert rb.names == gb.names and rb.t_max == gb.t_max
+            for key in dims:
+                got = getattr(rb, key)
+                np.testing.assert_array_equal(
+                    got.copy(), getattr(gb, key),
+                    err_msg=f"epoch {epoch} {key}")
+            np.testing.assert_array_equal(rb.lengths, gb.lengths)
+
+
+def test_ring_depth_must_cover_prefetch():
+    ds = MoseiDataset([], [], {})
+    with pytest.raises(AssertionError):
+        BatchIterator(ds, 4, shuffle=False, prefetch=4, reuse_buffers=3)

@@ -137,3 +137,85 @@ def test_fill_batch_packed_matches_npy_path(tmp_path):
     got, got_len = fill_batch_from_packed(src, names, bucket, 6)
     np.testing.assert_array_equal(got, ref)
     np.testing.assert_array_equal(got_len, ref_len)
+
+
+def test_fill_batch_packed_bf16(tmp_path):
+    """bf16 packed store: the single-touch mmap fill must match the pure
+    python gather bit-for-bit (same bf16 payload, same f32-accumulated
+    mean-pool), and approximate the f32 path within bf16 resolution."""
+    import ml_dtypes
+
+    from sdumc_tpu.data.packed import (
+        PackedSource, fill_batch_from_packed, pack_features)
+
+    rng = np.random.default_rng(7)
+    d = tmp_path / "feats"
+    d.mkdir()
+    names = []
+    for i, t in enumerate((4, 16, 37, 1)):  # 37 > bucket -> compress path
+        name = f"clip{i}"
+        np.save(d / f"{name}.npy", rng.normal(size=(t, 6)).astype(np.float32))
+        names.append(name)
+    f32 = PackedSource(pack_features(str(d), str(tmp_path / "p32")))
+    bf16 = PackedSource(pack_features(str(d), str(tmp_path / "p16"),
+                                      dtype="bfloat16"))
+    assert bf16.dtype_name == "bfloat16"
+
+    bucket = 16
+    ref, ref_len = fill_batch_from_packed(f32, names, bucket, 6)
+    got, got_len = fill_batch_from_packed(bf16, names, bucket, 6)
+    assert got.dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(got_len, ref_len)
+    # bf16 has ~3 decimal digits; values here are O(1)
+    np.testing.assert_allclose(got.astype(np.float32), ref,
+                               rtol=2e-2, atol=2e-2)
+
+    # native fill == python fallback fill, bit for bit
+    import sdumc_tpu.data.packed as packed_mod
+
+    native_avail = native.available()
+    assert native_avail
+    entries = [tuple(bf16._index[n]) for n in names]
+    nat, nat_len = native.fill_batch_packed(
+        bf16._prefix + ".bin", entries, bucket, 6, dtype="bfloat16")
+    py_src = PackedSource(str(tmp_path / "p16"))
+
+    def python_fill():
+        from sdumc_tpu.data.collate import mapping_feature
+
+        out = np.zeros((len(names), bucket, 6), py_src._dtype)
+        lens = np.zeros((len(names),), np.int64)
+        for i, n in enumerate(names):
+            raw = py_src.get(n)
+            feat = (mapping_feature(raw.astype(np.float32), bucket)
+                    .astype(py_src._dtype) if len(raw) > bucket else raw)
+            out[i, : len(feat)] = feat
+            lens[i] = len(feat)
+        return out, lens
+
+    py, py_len = python_fill()
+    np.testing.assert_array_equal(
+        nat.view(np.uint16), py.view(np.uint16))
+    np.testing.assert_array_equal(nat_len, py_len)
+
+
+def test_fill_batch_packed_reuses_buffer(tmp_path):
+    """Ring-buffer producers pass `out=`; a stale buffer must be fully
+    overwritten (single-touch contract: payload memcpy or pad memset)."""
+    from sdumc_tpu.data.packed import PackedSource, pack_features
+
+    rng = np.random.default_rng(9)
+    d = tmp_path / "feats"
+    d.mkdir()
+    np.save(d / "a.npy", rng.normal(size=(3, 4)).astype(np.float32))
+    np.save(d / "b.npy", rng.normal(size=(11, 4)).astype(np.float32))
+    src = PackedSource(pack_features(str(d), str(tmp_path / "p")))
+    entries = [tuple(src._index[n]) for n in ("a", "b")]
+
+    stale = np.full((2, 8, 4), np.nan, np.float32)
+    out, lens = native.fill_batch_packed(
+        src._prefix + ".bin", entries, 8, 4, out=stale)
+    assert out is stale
+    assert np.isfinite(out).all()  # every stale byte overwritten
+    assert list(lens) == [3, 8]
+    assert (out[0, 3:] == 0).all()  # pad region zeroed, not stale
