@@ -136,7 +136,8 @@ def bench_wavlm(reps: int = 12) -> dict:
 
 
 def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
-                reps: int = 2, quant: str | None = None) -> dict:
+                reps: int = 2, quant: str | None = None,
+                kv_quant: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -148,7 +149,7 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     # 7B beam program OOMs the AOT compiler's HBM accounting; scan is also
     # the production layout (models/llama.py)
     cfg = LlamaConfig(max_position_embeddings=prompt + new, scan_layers=True,
-                      quant=quant)
+                      quant=quant, kv_quant=kv_quant)
     model = LlamaForCausalLM(cfg)
     n_dense = cfg.num_layers * (4 * cfg.hidden_size ** 2
                                 + 3 * cfg.hidden_size * cfg.intermediate_size)
@@ -235,16 +236,21 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     out: dict = {"shape": "7B (h4096 L32 MHA32, vocab 32k) "
                           + {"int8": "int8 weight-only", "w8a8": "w8a8",
                              "int4": "int4 group-128 weight-only"}.get(
-                              quant, "bf16"),
+                              quant, "bf16")
+                          + (" + int8 KV cache" if kv_quant else ""),
                  "weight_gb": round(weight_gb, 2),
                  "prompt": prompt, "new_tokens": new, "per_batch": {}}
+    # per cached token per layer: K+V payload bytes + per-head f32 scales
+    kv_token_bytes = 2 * cfg.hidden_size * (
+        1 if kv_quant == "int8" else 2) + (
+        2 * cfg.num_heads * 4 if kv_quant == "int8" else 0)
     for C in batches:
         # the AUTO-lowered jit wrapper refuses concrete arrays — call its
         # compiled executable; later batch sizes pin the concrete formats
         gen = (compiled1 if C == batches[0] else
                jax.jit(gen_fn, in_shardings=(param_formats, None, None)))
-        kv_gb = (cfg.num_layers * 2 * (C * 4) * (prompt + new)
-                 * cfg.hidden_size * 2) / 1e9
+        kv_gb = (cfg.num_layers * (C * 4) * (prompt + new)
+                 * kv_token_bytes) / 1e9
         try:
             prompts = jnp.asarray(
                 rng.normal(size=(C, prompt, cfg.hidden_size))
@@ -293,6 +299,11 @@ def main(argv=None):
                         "cached bf16/wavlm numbers in bench_extractors.json)")
     p.add_argument("--feat4-int4-only", action="store_true",
                    help="refresh only the int4 decode section")
+    p.add_argument("--feat4-bf16-only", action="store_true",
+                   help="refresh only the bf16 decode section")
+    p.add_argument("--feat4-kv-only", action="store_true",
+                   help="run the int8-KV-cache decode matrix (w8a8/int8/"
+                        "int4 weights x int8 KV at matched gen_batch)")
     args = p.parse_args(argv)
 
     import jax
@@ -304,6 +315,28 @@ def main(argv=None):
     if args.feat4_int8_only:
         blob["feat4_int8"] = bench_feat4(quant="int8")
         print(json.dumps({"feat4_int8": blob["feat4_int8"]}, indent=1))
+        with open(OUT_PATH, "w") as f:
+            json.dump(blob, f, indent=1)
+        print(f"wrote {OUT_PATH}")
+        return
+    if args.feat4_bf16_only:
+        blob["feat4"] = bench_feat4()
+        print(json.dumps({"feat4": blob["feat4"]}, indent=1))
+        with open(OUT_PATH, "w") as f:
+            json.dump(blob, f, indent=1)
+        print(f"wrote {OUT_PATH}")
+        return
+    if args.feat4_kv_only:
+        # decode streams weights + KV cache every step; with w8a8 weights
+        # (6.87 GB) the beam-4 gen_batch=8 KV cache (2.95 GB bf16) is the
+        # next-largest stream — int8 KV halves it. Matched-batch matrix so
+        # the int4-vs-int8 verdict (VERDICT r3 item 3) is apples-to-apples.
+        for weights, batches in (("w8a8", (4, 8)), ("int8", (4, 8)),
+                                 ("int4", (8, 16))):
+            key = f"feat4_{weights}_kv8"
+            blob[key] = bench_feat4(batches=batches, quant=weights,
+                                    kv_quant="int8")
+            print(json.dumps({key: blob[key]}, indent=1))
         with open(OUT_PATH, "w") as f:
             json.dump(blob, f, indent=1)
         print(f"wrote {OUT_PATH}")

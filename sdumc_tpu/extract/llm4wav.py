@@ -255,6 +255,14 @@ def main(argv=None):
                              "stream halves again (7B -> ~3.5 GB), ~2-4%% "
                              "shift. Mutually exclusive with --tp (TP specs "
                              "address bf16 kernels)")
+    parser.add_argument("--kv_quant", type=str, default=None,
+                        choices=("int8",),
+                        help="int8 KV cache with per-(token, head) scales: "
+                             "decode attention streams the whole cache every "
+                             "step (2.95 GB at 7B beam-4 gen_batch=8), so "
+                             "halving cache bytes attacks the next stream "
+                             "after the weights. Composes with any --quant "
+                             "mode; taps shift ~0.1-1% (test_quant.py)")
     args = parser.parse_args(argv)
     if args.quant and args.tp > 1:
         parser.error("--quant cannot be combined with --tp>1")
@@ -275,6 +283,8 @@ def main(argv=None):
 
         cfg = dataclasses.replace(cfg, quant=args.quant)
         params = quantize_params(params, mode=args.quant)
+    if args.kv_quant:
+        cfg = dataclasses.replace(cfg, kv_quant=args.kv_quant)
     tokenizer = transformers.AutoTokenizer.from_pretrained(args.llm_dir)
     projector_params = load_projector(args.projector_path)
     extractor = Feat4Extractor(

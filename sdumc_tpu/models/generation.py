@@ -55,12 +55,11 @@ def _broadcast_caches(caches, B):
     so prefilling once per clip and broadcasting is compute- and
     memory-cheaper than prefilling C*B identical streams)."""
     if isinstance(caches, dict):  # stacked scan-layers layout [L, C, ...]
-        return {"k": jnp.repeat(caches["k"], B, axis=1),
-                "v": jnp.repeat(caches["v"], B, axis=1),
-                "index": caches["index"]}
+        return {k: v if k == "index" else jnp.repeat(v, B, axis=1)
+                for k, v in caches.items()}
     return tuple(
-        {"k": jnp.repeat(c["k"], B, axis=0), "v": jnp.repeat(c["v"], B, axis=0),
-         "index": c["index"]}
+        {k: v if k == "index" else jnp.repeat(v, B, axis=0)
+         for k, v in c.items()}
         for c in caches
     )
 
@@ -69,10 +68,10 @@ def _gather_caches(caches, rows):
     """Beam-ancestry reorder: rows is the flat [C*B] row index (clip-major)."""
     if isinstance(caches, dict):
         # stacked scan-layers layout: [num_layers, C*B, ...]
-        return {"k": caches["k"][:, rows], "v": caches["v"][:, rows],
-                "index": caches["index"]}
+        return {k: v if k == "index" else v[:, rows]
+                for k, v in caches.items()}
     return tuple(
-        {"k": c["k"][rows], "v": c["v"][rows], "index": c["index"]}
+        {k: v if k == "index" else v[rows] for k, v in c.items()}
         for c in caches
     )
 

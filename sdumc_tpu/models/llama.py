@@ -61,6 +61,15 @@ class LlamaConfig:
     # halves again vs int8 (7B -> ~3.5 GB), numeric shift ~2-4%.
     # Embeddings stay full precision (gathers don't stream the table).
     quant: Optional[str] = None
+    # "int8" = quantized KV cache with per-(token, head) symmetric scales.
+    # Decode attention streams the whole cache every step (2.95 GB at 7B
+    # beam-4 gen_batch=8 — the largest stream after the weights once those
+    # are w8a8), so halving cache bytes attacks the next bound directly.
+    # The CURRENT chunk's keys/values stay exact (quantization applies on
+    # the cache write; the joint softmax mixes exact-new with dequantized-
+    # old). Composes with any `quant` mode. Numeric shift on decode taps
+    # measures ~0.1-1% (test_quant.py pins it).
+    kv_quant: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -105,7 +114,19 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
-def _cached_attention(c: LlamaConfig, q, k_new, v_new, k_old, v_old, idx, mask):
+def quantize_kv(x: jnp.ndarray):
+    """Symmetric per-(token, head) int8 over the head_dim axis:
+    x [..., hd] -> (int8 [..., hd], f32 scale [...]). head_dim is the only
+    axis a cache slot owns exclusively, so scales never mix tokens."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _cached_attention(c: LlamaConfig, q, k_new, v_new, k_old, v_old, idx, mask,
+                      k_scale=None, v_scale=None):
     """Attention over the PRE-UPDATE cache plus the current chunk, one joint
     softmax — numerically identical to update-then-attend while keeping the
     cache buffer a pure read (the update happens outside, so XLA never has
@@ -119,6 +140,12 @@ def _cached_attention(c: LlamaConfig, q, k_new, v_new, k_old, v_old, idx, mask):
     written at [idx, idx+T) — the chunk's own mask is the [idx, idx+T)
     column slice, so caller semantics (left-pad buckets, _slot_mask offsets)
     transfer exactly. Returns [B,T,H,hd].
+
+    k_scale/v_scale [B,S,KV] (kv_quant="int8"): k_old/v_old hold int8 codes;
+    the per-slot scale is folded OUTSIDE the head_dim reduction (scores *=
+    k_scale after the dot; v_scale folds into the probs), so no dequantized
+    [B,S,H,hd] copy is ever materialized — the attention stream stays at
+    int8 bytes, which is the whole point.
     """
     B, T = q.shape[:2]
     S = k_old.shape[1]
@@ -128,6 +155,9 @@ def _cached_attention(c: LlamaConfig, q, k_new, v_new, k_old, v_old, idx, mask):
         v_new = jnp.repeat(v_new, rep, axis=2)
         k_old = jnp.repeat(k_old, rep, axis=2)
         v_old = jnp.repeat(v_old, rep, axis=2)
+        if k_scale is not None:
+            k_scale = jnp.repeat(k_scale, rep, axis=2)
+            v_scale = jnp.repeat(v_scale, rep, axis=2)
     scale = jnp.sqrt(c.head_dim).astype(jnp.float32)
     mask = jnp.broadcast_to(mask, (B, 1, T, S))
     # stale slots (>= idx) hold garbage in the pre-update buffer; the live
@@ -145,6 +175,8 @@ def _cached_attention(c: LlamaConfig, q, k_new, v_new, k_old, v_old, idx, mask):
         s_old = jnp.sum(
             q.astype(jnp.float32) * k_old.astype(jnp.float32), axis=-1
         )                                                   # [B, S, H]
+        if k_scale is not None:
+            s_old = s_old * k_scale                         # dequant, [B,S,H]
         s_old = jnp.transpose(s_old, (0, 2, 1))[:, :, None, :] / scale
         s_self = jnp.sum(
             q.astype(jnp.float32) * k_new.astype(jnp.float32), axis=-1
@@ -154,16 +186,28 @@ def _cached_attention(c: LlamaConfig, q, k_new, v_new, k_old, v_old, idx, mask):
             [s_old + old_mask, s_self + chunk_mask], axis=-1)
         probs = jax.nn.softmax(joint, axis=-1)              # [B, H, 1, S+1]
         pv = jnp.transpose(probs[:, :, 0, :S], (0, 2, 1))   # [B, S, H]
+        if v_scale is not None:
+            pv = pv * v_scale                               # fold dequant
         out = jnp.sum(pv[..., None] * v_old.astype(jnp.float32), axis=1)
         out = out + probs[:, :, 0, S:] * v_new[:, 0].astype(jnp.float32)
         return out.astype(c.dtype)[:, None]                 # [B, 1, H, hd]
 
-    s_old = jnp.einsum("bthd,bshd->bhts", q, k_old).astype(jnp.float32)
+    k_old_d = k_old if k_scale is None else k_old.astype(c.dtype)
+    s_old = jnp.einsum("bthd,bshd->bhts", q, k_old_d).astype(jnp.float32)
+    if k_scale is not None:
+        s_old = s_old * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, :]
     s_new = jnp.einsum("bthd,bshd->bhts", q, k_new).astype(jnp.float32)
     joint = jnp.concatenate(
         [s_old / scale + old_mask, s_new / scale + chunk_mask], axis=-1)
     probs = jax.nn.softmax(joint, axis=-1).astype(c.dtype)  # [B, H, T, S+T]
-    out = jnp.einsum("bhts,bshd->bthd", probs[..., :S], v_old)
+    p_old = probs[..., :S]
+    if v_scale is not None:
+        # fold the value dequant into the probs (tiny [B,H,T,S] multiply)
+        p_old = (probs[..., :S].astype(jnp.float32)
+                 * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, :]
+                 ).astype(c.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", p_old,
+                     v_old if v_scale is None else v_old.astype(c.dtype))
     out = out + jnp.einsum("bhts,bshd->bthd", probs[..., S:], v_new)
     return out
 
@@ -221,11 +265,13 @@ class LlamaAttention(nn.Module):
             # LlamaModel does ONE in-place slab write after the scan.
             assert layer_idx is not None
             idx = cache["index"][layer_idx]
-            k_old = jax.lax.dynamic_index_in_dim(
-                cache["k"], layer_idx, 0, keepdims=False)
-            v_old = jax.lax.dynamic_index_in_dim(
-                cache["v"], layer_idx, 0, keepdims=False)
-            out = _cached_attention(c, q, k, v, k_old, v_old, idx, mask)
+            layer_of = lambda key: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                cache[key], layer_idx, 0, keepdims=False)
+            k_old, v_old = layer_of("k"), layer_of("v")
+            ks = layer_of("k_scale") if "k_scale" in cache else None
+            vs = layer_of("v_scale") if "v_scale" in cache else None
+            out = _cached_attention(c, q, k, v, k_old, v_old, idx, mask,
+                                    ks, vs)
             out = out.reshape(B, T, c.num_heads * c.head_dim)
             return (_dense(c.hidden_size, "o_proj", c.dtype, c.quant)(out),
                     (k, v))
@@ -235,14 +281,30 @@ class LlamaAttention(nn.Module):
             # in place), update applied here
             idx = cache["index"]
             out = _cached_attention(c, q, k, v, cache["k"], cache["v"],
-                                    idx, mask)
-            new_cache = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0)),
-                "v": jax.lax.dynamic_update_slice(
-                    cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0)),
-                "index": idx + T,
-            }
+                                    idx, mask, cache.get("k_scale"),
+                                    cache.get("v_scale"))
+            if "k_scale" in cache:
+                k_w, k_s = quantize_kv(k)
+                v_w, v_s = quantize_kv(v)
+                new_cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], k_w, (0, idx, 0, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], v_w, (0, idx, 0, 0)),
+                    "k_scale": jax.lax.dynamic_update_slice(
+                        cache["k_scale"], k_s, (0, idx, 0)),
+                    "v_scale": jax.lax.dynamic_update_slice(
+                        cache["v_scale"], v_s, (0, idx, 0)),
+                    "index": idx + T,
+                }
+            else:
+                new_cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0)),
+                    "index": idx + T,
+                }
         else:
             new_cache = None
             k_use, v_use = k, v
@@ -392,6 +454,20 @@ class LlamaModel(nn.Module):
             if caches is not None:
                 k_new, v_new = kv_stack        # [L, B, T, KV, hd] each
                 idx = caches["index"][0]       # layers always advance together
+                if "k_scale" in caches:
+                    # quantize the whole [L, B, T, KV, hd] slab in one pass
+                    # (chunks rode the scan out in bf16 — attention used
+                    # them exact; only the persisted cache is int8)
+                    k_new, k_s = quantize_kv(k_new)
+                    v_new, v_s = quantize_kv(v_new)
+                    extra = {
+                        "k_scale": jax.lax.dynamic_update_slice(
+                            caches["k_scale"], k_s, (0, 0, idx, 0)),
+                        "v_scale": jax.lax.dynamic_update_slice(
+                            caches["v_scale"], v_s, (0, 0, idx, 0)),
+                    }
+                else:
+                    extra = {}
                 new_caches = {
                     "k": jax.lax.dynamic_update_slice(
                         caches["k"], k_new.astype(caches["k"].dtype),
@@ -400,6 +476,7 @@ class LlamaModel(nn.Module):
                         caches["v"], v_new.astype(caches["v"].dtype),
                         (0, 0, idx, 0, 0)),
                     "index": caches["index"] + T,
+                    **extra,
                 }
             else:
                 new_caches = None
@@ -463,23 +540,37 @@ class LlamaForCausalLM(nn.Module):
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
-    dtype = dtype or cfg.dtype
+    quant = cfg.kv_quant == "int8"
+    dtype = jnp.int8 if quant else (dtype or cfg.dtype)
     if cfg.scan_layers:
         # one stacked cache with a leading layer axis, scanned by the model
         L = cfg.num_layers
-        return {
+        cache = {
             "k": jnp.zeros((L, batch, max_len, cfg.kv_heads, cfg.head_dim), dtype),
             "v": jnp.zeros((L, batch, max_len, cfg.kv_heads, cfg.head_dim), dtype),
             "index": jnp.zeros((L,), jnp.int32),
         }
-    return tuple(
-        {
+        if quant:
+            cache["k_scale"] = jnp.zeros(
+                (L, batch, max_len, cfg.kv_heads), jnp.float32)
+            cache["v_scale"] = jnp.zeros(
+                (L, batch, max_len, cfg.kv_heads), jnp.float32)
+        return cache
+
+    def one():
+        cache = {
             "k": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_dim), dtype),
             "v": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_dim), dtype),
             "index": jnp.int32(0),
         }
-        for _ in range(cfg.num_layers)
-    )
+        if quant:
+            cache["k_scale"] = jnp.zeros(
+                (batch, max_len, cfg.kv_heads), jnp.float32)
+            cache["v_scale"] = jnp.zeros(
+                (batch, max_len, cfg.kv_heads), jnp.float32)
+        return cache
+
+    return tuple(one() for _ in range(cfg.num_layers))
 
 
 def cache_mask(query_positions, max_len):
