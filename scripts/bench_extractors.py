@@ -137,7 +137,8 @@ def bench_wavlm(reps: int = 12) -> dict:
 
 def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
                 reps: int = 2, quant: str | None = None,
-                kv_quant: str | None = None) -> dict:
+                kv_quant: str | None = None,
+                profile_dir: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -258,11 +259,16 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
             lens = jnp.full((C,), prompt - 5, jnp.int32)
             o = gen(params, prompts, lens)
             np.asarray(o["tokens"])  # sync
+            do_trace = profile_dir and C == max(batches)
+            if do_trace:
+                jax.profiler.start_trace(profile_dir)
             t0 = time.perf_counter()
             for _ in range(reps):
                 o = gen(params, prompts, lens)
                 np.asarray(o["tokens"])
             dt = time.perf_counter() - t0
+            if do_trace:
+                jax.profiler.stop_trace()
             steps = int(np.asarray(o["n_steps"]).max())
             tps = reps * C * steps / dt
             out["per_batch"][str(C)] = {

@@ -92,18 +92,8 @@ def _classify(op: str) -> str:
     return base
 
 
-def profile_program(tag: str, run_epoch, epochs: int) -> dict:
-    trace_dir = f"/tmp/sdumc_profile_{tag}"
-    os.system(f"rm -rf {trace_dir}")
-    run_epoch()  # compile + warm
-    t0 = time.perf_counter()
-    jax.profiler.start_trace(trace_dir)
-    try:
-        for _ in range(epochs):
-            run_epoch()
-    finally:
-        jax.profiler.stop_trace()
-    wall = time.perf_counter() - t0
+def op_table(tag: str, trace_dir: str, wall: float, epochs: int) -> dict:
+    """Aggregate a captured trace into the per-op artifact dict."""
     ops = _device_op_events(trace_dir)
     total = sum(v[0] for v in ops.values())
     rows = sorted(
@@ -131,10 +121,86 @@ def profile_program(tag: str, run_epoch, epochs: int) -> dict:
     }
 
 
+def profile_program(tag: str, run_epoch, epochs: int) -> dict:
+    trace_dir = f"/tmp/sdumc_profile_{tag}"
+    os.system(f"rm -rf {trace_dir}")
+    run_epoch()  # compile + warm
+    t0 = time.perf_counter()
+    jax.profiler.start_trace(trace_dir)
+    try:
+        for _ in range(epochs):
+            run_epoch()
+    finally:
+        jax.profiler.stop_trace()
+    return op_table(tag, trace_dir, time.perf_counter() - t0, epochs)
+
+
+def write_artifacts(results: dict, stem: str, header: str):
+    os.makedirs(os.path.join(REPO, "profiles"), exist_ok=True)
+    with open(os.path.join(REPO, "profiles", f"{stem}.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    lines = [f"# {header}", "",
+             f"Device: {results['device']}  (generated by "
+             "scripts/profile_train.py)", ""]
+    for tag, r in results.items():
+        if not isinstance(r, dict) or "by_class" not in r:
+            continue
+        lines += [f"## {tag}",
+                  "",
+                  f"device busy {r['device_total_ms']} ms over "
+                  f"{r['wall_s']} s wall ({r['device_busy_pct_of_wall']}% "
+                  "— the gap is dispatch/tunnel latency)", "",
+                  "| class | total ms | % device | calls |",
+                  "|---|---|---|---|"]
+        for k, v in r["by_class"].items():
+            lines.append(
+                f"| {k} | {v['total_ms']} | {v['pct']} | {v['calls']} |")
+        lines += ["", "| op | total us | % | calls | class |",
+                  "|---|---|---|---|---|"]
+        for row in r["top_ops"][:15]:
+            lines.append(f"| {row['op']} | {row['total_us']} | "
+                         f"{row['pct_device']} | {row['calls']} | "
+                         f"{row['class']} |")
+        lines.append("")
+    with open(os.path.join(REPO, "profiles", f"{stem}.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote profiles/{stem}.{{json,md}}")
+
+
+def profile_decode(argv_rest=None):
+    """Per-op profile of the 7B-shaped w8a8 feat4 beam decode at
+    gen_batch=8 (the production extractor program): where each decode
+    step's device time goes — weight-streaming dots, cache-reading
+    attention fusions, or the beam-ancestry cache gather (copy class)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_extractors
+
+    trace_dir = "/tmp/sdumc_profile_decode"
+    os.system(f"rm -rf {trace_dir}")
+    t0 = time.perf_counter()
+    stats = bench_extractors.bench_feat4(
+        batches=(8,), quant="w8a8", reps=1, profile_dir=trace_dir)
+    wall = time.perf_counter() - t0
+    results = {
+        "device": str(jax.devices()[0]),
+        "bench_stats": stats,
+        "decode_w8a8_b8": op_table("decode_w8a8_b8", trace_dir, wall, 1),
+    }
+    write_artifacts(results, "decode_ops",
+                    "Per-op TPU profile: feat4 w8a8 beam-4 decode, "
+                    "gen_batch=8")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--decode", action="store_true",
+                   help="profile the feat4 decode program instead of "
+                        "train/eval (writes profiles/decode_ops.*)")
     args = p.parse_args(argv)
+    if args.decode:
+        profile_decode()
+        return
 
     import jax.numpy as jnp
 
@@ -175,42 +241,16 @@ def main(argv=None):
 
     results = {
         "device": str(jax.devices()[0]),
+        "config": f"bf16 features, {bench.BATCH_SIZE}-clip batches x "
+                  f"{bench.N_BATCHES}, {args.epochs} epochs traced",
         "train": profile_program("train", train_epoch, args.epochs),
         "eval": profile_program("eval", eval_epoch, args.epochs),
     }
-
-    os.makedirs(os.path.join(REPO, "profiles"), exist_ok=True)
-    with open(os.path.join(REPO, "profiles", "step_ops.json"), "w") as f:
-        json.dump(results, f, indent=1)
-
-    lines = ["# Per-op TPU profile: train + eval steps",
-             "",
-             f"Device: {results['device']}  (bf16 features, "
-             f"{bench.BATCH_SIZE}-clip batches x {bench.N_BATCHES}, "
-             f"{args.epochs} epochs traced; generated by "
-             "scripts/profile_train.py)", ""]
-    for tag in ("train", "eval"):
-        r = results[tag]
-        lines += [f"## {tag} step",
-                  "",
-                  f"device busy {r['device_total_ms']} ms over "
-                  f"{r['wall_s']} s wall ({r['device_busy_pct_of_wall']}% "
-                  "— the gap is dispatch/tunnel latency)", "",
-                  "| class | total ms | % device | calls |",
-                  "|---|---|---|---|"]
-        for k, v in r["by_class"].items():
-            lines.append(f"| {k} | {v['total_ms']} | {v['pct']} | {v['calls']} |")
-        lines += ["", "| op | total us | % | calls | class |", "|---|---|---|---|---|"]
-        for row in r["top_ops"][:15]:
-            lines.append(f"| {row['op']} | {row['total_us']} | "
-                         f"{row['pct_device']} | {row['calls']} | {row['class']} |")
-        lines.append("")
-    with open(os.path.join(REPO, "profiles", "step_ops.md"), "w") as f:
-        f.write("\n".join(lines))
+    write_artifacts(results, "step_ops",
+                    "Per-op TPU profile: train + eval steps")
     print(json.dumps({t: {"device_total_ms": results[t]["device_total_ms"],
                           "by_class": results[t]["by_class"]}
                       for t in ("train", "eval")}, indent=1))
-    print("wrote profiles/step_ops.{json,md}")
 
 
 if __name__ == "__main__":
