@@ -590,9 +590,10 @@ def main():
         f4w = ext.get("feat4_w8a8", {})
         if f4w:
             blob["feat4_w8a8_tokens_per_sec"] = f4w.get("clip_tokens_per_sec_best")
-        f4i4 = ext.get("feat4_int4", {})
-        if f4i4:
-            blob["feat4_int4_tokens_per_sec"] = f4i4.get("clip_tokens_per_sec_best")
+        f4kv = ext.get("feat4_w8a8_kv8", {})
+        if f4kv:
+            blob["feat4_w8a8_kv8_tokens_per_sec"] = f4kv.get(
+                "clip_tokens_per_sec_best")
         blob["extractor_bench_device"] = ext.get("device")
     print(json.dumps(blob))
 

@@ -85,7 +85,7 @@ for R in ROWS:
         logits, caches = step(params, caches, tok, R)
     np.asarray(logits[0, 0, :8])
     dt = (time.perf_counter() - t0) / reps
-    # weight stream: sum the actual param bytes (int4 packs 2/byte)
+    # weight stream: sum the actual param bytes
     wgb = sum(l.size * l.dtype.itemsize for l in leaves) / 1e9
     kvgb = 32 * 2 * R * max_len * 4096 * 2 / 1e9
     print(f"R={R:3d}: {dt*1e3:7.2f} ms/step  weights+kv {(wgb+kvgb):5.2f} GB "

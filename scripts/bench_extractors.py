@@ -159,10 +159,6 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     n_lm_head = cfg.vocab_size * cfg.hidden_size
     if quant in ("int8", "w8a8"):
         weight_gb = ((n_dense + n_lm_head) * 1 + n_other * 2) / 1e9
-    elif quant == "int4":
-        # 0.5 B/weight (XLA packs two nibbles per byte) + f32 group scales
-        weight_gb = ((n_dense + n_lm_head) * (0.5 + 4 / 128)
-                     + n_other * 2) / 1e9
     else:
         weight_gb = (n_dense + n_lm_head + n_other) * 2 / 1e9
 
@@ -176,9 +172,8 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     leaves = [l for _, l in flat]
 
     def bench_dtype(path, leaf):
-        # quant kernels stay int8 (that's the point — int4 mode packs two
-        # nibbles per int8 byte), their scales f32; everything else benches
-        # in bf16 (init default is f32)
+        # quant kernels stay int8 (that's the point), their scales f32;
+        # everything else benches in bf16 (init default is f32)
         if leaf.dtype == jnp.int8 or path.endswith("kernel_scale"):
             return leaf.dtype
         return jnp.bfloat16
@@ -199,10 +194,6 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     # (3 GB of copies — the difference between 7B fitting one v5e chip and
     # OOMing). Letting layout assignment pick the INPUT layouts moves the
     # relayout to parameter load time, where it belongs.
-    # (int4 kernels arrive nibble-packed in int8 — ops/quant.py — so every
-    # leaf dtype here is int8/f32/bf16 and the AUTO+device_put flow holds
-    # for all quant modes; jnp.int4 itself cannot cross a jit boundary on
-    # this backend.)
     gen1 = jax.jit(gen_fn, in_shardings=(Format(Layout.AUTO), None, None))
     pe1 = jax.ShapeDtypeStruct((batches[0], prompt, cfg.hidden_size), jnp.float32)
     pl1 = jax.ShapeDtypeStruct((batches[0],), jnp.int32)
@@ -218,13 +209,11 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     for path, l, fmt in zip(paths, leaves, fmt_leaves):
         key, sub = jax.random.split(key)
         if l.dtype == jnp.int8:
-            # random bytes double as random packed nibbles in int4 mode
             make = lambda k, shape=l.shape: jax.random.randint(  # noqa: E731
                 k, shape, -127, 128, jnp.int32).astype(jnp.int8)
         elif path.endswith("kernel_scale"):
-            lvl = 7 if quant == "int4" else 127
-            make = lambda k, shape=l.shape, lv=lvl: jnp.full(  # noqa: E731
-                shape, 0.02 / lv, jnp.float32)
+            make = lambda k, shape=l.shape: jnp.full(  # noqa: E731
+                shape, 0.02 / 127, jnp.float32)
         else:
             make = lambda k, shape=l.shape: 0.02 * jax.random.normal(  # noqa: E731
                 k, shape, jnp.bfloat16)
@@ -235,9 +224,8 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
 
     rng = np.random.default_rng(0)
     out: dict = {"shape": "7B (h4096 L32 MHA32, vocab 32k) "
-                          + {"int8": "int8 weight-only", "w8a8": "w8a8",
-                             "int4": "int4 group-128 weight-only"}.get(
-                              quant, "bf16")
+                          + {"int8": "int8 weight-only",
+                             "w8a8": "w8a8"}.get(quant, "bf16")
                           + (" + int8 KV cache" if kv_quant else ""),
                  "weight_gb": round(weight_gb, 2),
                  "prompt": prompt, "new_tokens": new, "per_batch": {}}
@@ -252,7 +240,7 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
                jax.jit(gen_fn, in_shardings=(param_formats, None, None)))
         kv_gb = (cfg.num_layers * (C * 4) * (prompt + new)
                  * kv_token_bytes) / 1e9
-        try:
+        def run_row():
             prompts = jnp.asarray(
                 rng.normal(size=(C, prompt, cfg.hidden_size))
                 .astype(np.float32) * 0.02)
@@ -278,6 +266,18 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
                 # decode streams the full weight set per step
                 "weight_stream_gbps": round(weight_gb * steps * reps / dt, 1),
             }
+        try:
+            try:
+                run_row()
+            except Exception as e:
+                # transient remote-compile infra faults (INTERNAL/http) are
+                # NOT data — retry once before recording anything
+                if "INTERNAL" not in str(e) and "http" not in str(e):
+                    raise
+                print(f"gen_batch={C}: transient infra error, retrying once "
+                      f"({str(e).splitlines()[0][:120]})")
+                time.sleep(20)
+                run_row()
         except Exception as e:  # OOM at this batch — the fit boundary
             msg = str(e).split("\n")[0][:200]
             out["per_batch"][str(C)] = {"error": msg, "kv_cache_gb": round(kv_gb, 2)}
@@ -303,13 +303,11 @@ def main(argv=None):
     p.add_argument("--feat4-int8-only", action="store_true",
                    help="refresh only the int8 decode section (reuses the "
                         "cached bf16/wavlm numbers in bench_extractors.json)")
-    p.add_argument("--feat4-int4-only", action="store_true",
-                   help="refresh only the int4 decode section")
     p.add_argument("--feat4-bf16-only", action="store_true",
                    help="refresh only the bf16 decode section")
     p.add_argument("--feat4-kv-only", action="store_true",
-                   help="run the int8-KV-cache decode matrix (w8a8/int8/"
-                        "int4 weights x int8 KV at matched gen_batch)")
+                   help="run the int8-KV-cache decode matrix (w8a8/int8 "
+                        "weights x int8 KV at matched gen_batch)")
     args = p.parse_args(argv)
 
     import jax
@@ -335,25 +333,16 @@ def main(argv=None):
     if args.feat4_kv_only:
         # decode streams weights + KV cache every step; with w8a8 weights
         # (6.87 GB) the beam-4 gen_batch=8 KV cache (2.95 GB bf16) is the
-        # next-largest stream — int8 KV halves it. Matched-batch matrix so
-        # the int4-vs-int8 verdict (VERDICT r3 item 3) is apples-to-apples.
-        for weights, batches in (("w8a8", (4, 8)), ("int8", (4, 8)),
-                                 ("int4", (8, 16))):
+        # next-largest stream — int8 KV halves it. (This matrix is what
+        # retired int4: 144.7 clip-tok/s at batch 8 with int8 KV vs 212.2
+        # for int8 weights — VERDICT r3 item 3.)
+        for weights, batches in (("w8a8", (4, 8)), ("int8", (4, 8))):
             key = f"feat4_{weights}_kv8"
             blob[key] = bench_feat4(batches=batches, quant=weights,
                                     kv_quant="int8")
             print(json.dumps({key: blob[key]}, indent=1))
-        with open(OUT_PATH, "w") as f:
-            json.dump(blob, f, indent=1)
-        print(f"wrote {OUT_PATH}")
-        return
-    if args.feat4_int4_only:
-        # int4 halves the weight stream vs int8; KV caches stay bf16, so
-        # gen_batch=16 probes whether the freed HBM buys more lockstep clips
-        blob["feat4_int4"] = bench_feat4(batches=(4, 8, 16), quant="int4")
-        print(json.dumps({"feat4_int4": blob["feat4_int4"]}, indent=1))
-        with open(OUT_PATH, "w") as f:
-            json.dump(blob, f, indent=1)
+            with open(OUT_PATH, "w") as f:  # checkpoint after each variant
+                json.dump(blob, f, indent=1)
         print(f"wrote {OUT_PATH}")
         return
     if not args.feat4_only:
@@ -369,8 +358,8 @@ def main(argv=None):
         # w8a8: same weights, dynamic activation int8 + native int8 MXU
         # dots — no per-step dequant VPU work on the critical path
         blob["feat4_w8a8"] = bench_feat4(quant="w8a8")
-        # int4: group-128 weight-only, halves the stream again
-        blob["feat4_int4"] = bench_feat4(batches=(4, 8, 16), quant="int4")
+        # production combo: w8a8 weights + int8 KV cache (the two streams)
+        blob["feat4_w8a8_kv8"] = bench_feat4(quant="w8a8", kv_quant="int8")
         print(json.dumps({"feat4_int8": blob["feat4_int8"]}, indent=1))
     with open(OUT_PATH, "w") as f:
         json.dump(blob, f, indent=1)

@@ -243,17 +243,15 @@ def main(argv=None):
                              " ~32x smaller decode HLO at 7B, numerics "
                              "identical (tests/test_llama_scan.py)")
     parser.add_argument("--quant", type=str, default=None,
-                        choices=("int8", "w8a8", "int4"),
+                        choices=("int8", "w8a8"),
                         help="int8 = weight-only fast path (ops/quant.py): "
                              "decode streams half the bytes -> ~2x tokens/s "
                              "and 7B drops to ~7 GB; ~1%% numeric shift "
                              "(tests/test_quant.py). w8a8 additionally "
                              "quantizes activations per-row and runs native "
                              "int8xint8 MXU dots (no per-step dequant VPU "
-                             "work; slightly larger numeric shift). int4 = "
-                             "4-bit weights with group-128 scales: the "
-                             "stream halves again (7B -> ~3.5 GB), ~2-4%% "
-                             "shift. Mutually exclusive with --tp (TP specs "
+                             "work; slightly larger numeric shift). "
+                             "Mutually exclusive with --tp (TP specs "
                              "address bf16 kernels)")
     parser.add_argument("--kv_quant", type=str, default=None,
                         choices=("int8",),

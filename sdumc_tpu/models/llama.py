@@ -56,10 +56,11 @@ class LlamaConfig:
     # the weight-only path converts ~7e9 int8 weights per step on the
     # VPU). Opt-in fast paths — numerics shift ~1% (int8) / ~1-2% (w8a8)
     # (test_quant.py); params come from ops.quant.quantize_params over a
-    # bf16 tree (same tree for both modes). "int4" = 4-bit nibbles with
-    # group-wise scales (ops/quant.py INT4_GROUP): the weight stream
-    # halves again vs int8 (7B -> ~3.5 GB), numeric shift ~2-4%.
-    # Embeddings stay full precision (gathers don't stream the table).
+    # bf16 tree (same tree for both modes). Embeddings stay full
+    # precision (gathers don't stream the table). An int4 mode existed
+    # through round 4 and was retired: it lost to int8 at every matched
+    # gen_batch even with the KV cache quantized (ops/quant.py docstring
+    # has the measurements).
     quant: Optional[str] = None
     # "int8" = quantized KV cache with per-(token, head) symmetric scales.
     # Decode attention streams the whole cache every step (2.95 GB at 7B
@@ -213,12 +214,11 @@ def _cached_attention(c: LlamaConfig, q, k_new, v_new, k_old, v_old, idx, mask,
 
 
 def _dense(features, name, dtype, quant=None):
-    if quant in ("int8", "w8a8", "int4"):
+    if quant in ("int8", "w8a8"):
         from sdumc_tpu.ops.quant import QuantDense
 
         return QuantDense(features, dtype=dtype, name=name,
-                          act_quant=quant == "w8a8",
-                          bits=4 if quant == "int4" else 8)
+                          act_quant=quant == "w8a8")
     assert quant is None, quant
     return nn.Dense(features, use_bias=False, dtype=dtype, name=name,
                     kernel_init=nn.initializers.normal(0.02))

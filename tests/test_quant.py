@@ -7,8 +7,7 @@ import numpy as np
 import pytest
 
 from sdumc_tpu.models.llama import LlamaConfig, LlamaForCausalLM
-from sdumc_tpu.ops.quant import (dequantize_kernel, dequantize_kernel_int4,
-                                 quantize_kernel, quantize_kernel_int4,
+from sdumc_tpu.ops.quant import (dequantize_kernel, quantize_kernel,
                                  quantize_params)
 
 
@@ -125,109 +124,6 @@ def test_w8a8_forward_close_to_full_precision(tiny_pair):
     assert agree > 0.7, agree
 
 
-def test_int4_pack_unpack_roundtrip():
-    from sdumc_tpu.ops.quant import pack_int4, unpack_int4
-
-    rng = np.random.default_rng(8)
-    q = jnp.asarray(rng.integers(-7, 8, size=(2, 64, 10)).astype(np.int8))
-    packed = pack_int4(q)
-    assert packed.shape == (2, 32, 10) and packed.dtype == jnp.int8
-    assert np.array_equal(np.asarray(unpack_int4(packed)), np.asarray(q))
-
-
-def test_int4_roundtrip_error_bound():
-    rng = np.random.default_rng(5)
-    w = jnp.asarray(rng.normal(size=(256, 48)).astype(np.float32) * 0.02)
-    q, s = quantize_kernel_int4(w, group=128)
-    # nibble-packed: two int4 values per int8 byte along the `in` axis
-    assert q.dtype == jnp.int8 and q.shape == (128, 48) and s.shape == (2, 48)
-    back = dequantize_kernel_int4(q, s, jnp.float32)
-    # symmetric group-wise: max error is half a quantization step of the
-    # OWN group's scale
-    step = np.repeat(np.asarray(s), 128, axis=0)
-    assert np.all(np.abs(np.asarray(back - w)) <= 0.5 * step + 1e-7)
-
-
-def test_int4_group_scales_isolate_outliers():
-    """A huge outlier in one group must not blow up the other group's
-    resolution — the reason scales are group-wise, not per-channel."""
-    rng = np.random.default_rng(6)
-    w = np.asarray(rng.normal(size=(256, 8)).astype(np.float32) * 0.02)
-    w[0, :] = 5.0  # outlier lives in group 0
-    q, s = quantize_kernel_int4(jnp.asarray(w), group=128)
-    back = np.asarray(dequantize_kernel_int4(q, s, jnp.float32))
-    rel_g1 = (np.linalg.norm(back[128:] - w[128:])
-              / np.linalg.norm(w[128:]))
-    # per-channel (one group over the whole axis): the outlier sets the
-    # scale for EVERY row, wiping out the small weights entirely
-    qc, sc = quantize_kernel_int4(jnp.asarray(w), group=256)
-    backc = np.asarray(dequantize_kernel_int4(qc, sc, jnp.float32))
-    rel_pc = (np.linalg.norm(backc[128:] - w[128:])
-              / np.linalg.norm(w[128:]))
-    # 4-bit uniform quantization noise on gaussian weights is ~12% rel
-    # (scale=absmax/7, err std=scale/sqrt(12)); group 1 must stay in that
-    # envelope while the per-channel variant is destroyed by the outlier
-    assert rel_g1 < 0.2, rel_g1
-    assert rel_pc > 5 * rel_g1, (rel_pc, rel_g1)
-    # stacked [L, in, out] quantizes per (layer, group, channel)
-    ws = jnp.asarray(rng.normal(size=(3, 256, 8)).astype(np.float32))
-    qs, ss = quantize_kernel_int4(ws, group=128)
-    assert ss.shape == (3, 2, 8)
-    rel = float(jnp.linalg.norm(dequantize_kernel_int4(qs, ss) - ws)
-                / jnp.linalg.norm(ws))
-    assert rel < 0.2, rel
-
-
-def test_int4_forward_close_to_full_precision(tiny_pair):
-    cfg, model, params, _, _, _, ids = tiny_pair
-    icfg = LlamaConfig.tiny(scan_layers=True, quant="int4")
-    imodel = LlamaForCausalLM(icfg)
-    iparams = quantize_params(params, mode="int4")
-    # structure must match what the int4 model expects (incl. group-wise
-    # scale shapes)
-    want = jax.eval_shape(
-        lambda: imodel.init(jax.random.PRNGKey(0), input_ids=ids))["params"]
-    assert (jax.tree_util.tree_structure(want)
-            == jax.tree_util.tree_structure(iparams))
-    for (pa, a), (_, b) in zip(
-            jax.tree_util.tree_flatten_with_path(want)[0],
-            jax.tree_util.tree_flatten_with_path(iparams)[0]):
-        assert a.shape == b.shape and a.dtype == b.dtype, (pa, a, b.shape)
-    ref = model.apply({"params": params}, input_ids=ids,
-                      output_hidden_states=True)
-    got = imodel.apply({"params": iparams}, input_ids=ids,
-                       output_hidden_states=True)
-    rel = float(jnp.linalg.norm(got["last_hidden_state"] - ref["last_hidden_state"])
-                / jnp.linalg.norm(ref["last_hidden_state"]))
-    # tiny-config bound: hidden 64 < group 128 means ONE scale group per
-    # channel and only 64 samples behind each absmax — relative noise here
-    # is the int4 worst case (~12%/layer, compounding over 3 layers). At
-    # 7B shapes (4096-in kernels, group 128) the same scheme measures 2-4%.
-    assert rel < 0.25, rel
-    agree = float(jnp.mean(
-        (jnp.argmax(ref["logits"], -1) == jnp.argmax(got["logits"], -1))))
-    assert agree > 0.5, agree
-
-
-def test_int4_beam_decode_runs(tiny_pair):
-    from sdumc_tpu.models.generation import beam_generate_batched
-
-    cfg, model, params, _, _, _, _ = tiny_pair
-    icfg = LlamaConfig.tiny(scan_layers=True, quant="int4")
-    imodel = LlamaForCausalLM(icfg)
-    iparams = quantize_params(params, mode="int4")
-    rng = np.random.default_rng(7)
-    pe = jnp.asarray(rng.normal(size=(2, 10, cfg.hidden_size)).astype(np.float32) * 0.1)
-    lens = jnp.asarray([10, 7], jnp.int32)
-    apply_fn = lambda **kw: imodel.apply({"params": iparams}, **kw)  # noqa: E731
-    embed_fn = lambda t: iparams["model"]["embed_tokens"]["embedding"][t]  # noqa: E731
-    got = jax.jit(lambda p: beam_generate_batched(
-        apply_fn, pe, icfg, embed_fn=embed_fn, prompt_len=lens,
-        num_beams=4, max_new_tokens=6, eos_id=-1))(iparams)
-    assert int(np.asarray(got["n_steps"]).max()) == 6
-    assert np.isfinite(np.asarray(got["taps"], np.float32)).all()
-
-
 def test_w8a8_beam_decode_runs(tiny_pair):
     from sdumc_tpu.models.generation import beam_generate_batched
 
@@ -244,49 +140,6 @@ def test_w8a8_beam_decode_runs(tiny_pair):
         num_beams=4, max_new_tokens=6, eos_id=-1))(qparams)
     assert int(np.asarray(got["n_steps"]).max()) == 6
     assert np.isfinite(np.asarray(got["taps"], np.float32)).all()
-
-
-def test_pallas_int4_matmul_matches_dequant_dense():
-    """The fused-unpack Pallas kernel (ops/pallas/int4_matmul.py) must
-    equal dequantize-then-dense up to bf16 rounding: the kernel applies
-    the group scale on the bf16 weight operand instead of the f32
-    partial, so tolerance is the bf16 grid (~0.8%), not exactness."""
-    from sdumc_tpu.ops.pallas.int4_matmul import int4_matmul
-    from sdumc_tpu.ops.quant import dequantize_kernel_int4, quantize_kernel_int4
-
-    rng = np.random.default_rng(11)
-    n_in, n_out, rows = 256, 384, 5
-    w = jnp.asarray(rng.normal(size=(n_in, n_out)).astype(np.float32) * 0.02)
-    packed, scale = quantize_kernel_int4(w, group=128)
-    x = jnp.asarray(rng.normal(size=(rows, n_in)).astype(np.float32))
-
-    ref = (x.astype(jnp.bfloat16)
-           @ dequantize_kernel_int4(packed, scale, jnp.bfloat16))
-    got = int4_matmul(x, packed, scale, out_block=128, interpret=True)
-    assert got.shape == (rows, n_out) and got.dtype == jnp.bfloat16
-    rel = float(jnp.linalg.norm((got - ref).astype(jnp.float32))
-                / jnp.linalg.norm(ref.astype(jnp.float32)))
-    assert rel < 1.2e-2, rel
-
-
-def test_pallas_int4_matmul_leading_dims_and_padding():
-    """Odd row counts (pad to sublane 8) and 3-D leading shapes must
-    round-trip; out_block larger than OUT exercises the output pad."""
-    from sdumc_tpu.ops.pallas.int4_matmul import int4_matmul
-    from sdumc_tpu.ops.quant import dequantize_kernel_int4, quantize_kernel_int4
-
-    rng = np.random.default_rng(12)
-    n_in, n_out = 128, 136
-    w = jnp.asarray(rng.normal(size=(n_in, n_out)).astype(np.float32) * 0.05)
-    packed, scale = quantize_kernel_int4(w, group=128)
-    x = jnp.asarray(rng.normal(size=(2, 3, n_in)).astype(np.float32))
-    ref = (x.astype(jnp.bfloat16)
-           @ dequantize_kernel_int4(packed, scale, jnp.bfloat16))
-    got = int4_matmul(x, packed, scale, out_block=256, interpret=True)
-    assert got.shape == (2, 3, n_out)
-    rel = float(jnp.linalg.norm((got - ref).astype(jnp.float32))
-                / jnp.linalg.norm(ref.astype(jnp.float32)))
-    assert rel < 1.2e-2, rel
 
 
 @pytest.mark.parametrize("scan", [True, False])
