@@ -316,6 +316,8 @@ def main(argv=None):
     if os.path.exists(OUT_PATH):
         with open(OUT_PATH) as f:
             blob.update(json.load(f))
+    # retired variants must not survive a refresh via the merge above
+    blob.pop("feat4_int4", None)
     if args.feat4_int8_only:
         blob["feat4_int8"] = bench_feat4(quant="int8")
         print(json.dumps({"feat4_int8": blob["feat4_int8"]}, indent=1))

@@ -46,12 +46,16 @@ def einsum_path(q, k, v, gate, rel_embed, kvalid):
 
 
 def bench(fn, *args, iters=10):
+    # hard sync = 4-byte fetch of a device-side reduction: over the axon
+    # tunnel block_until_ready reports ready at enqueue (the bug that made
+    # an earlier sweep read thousands of TF/s — see bench_flash_tune.py)
+    sync = jax.jit(jnp.sum)
     out = fn(*args)
-    jax.block_until_ready(out)
+    float(sync(out))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(sync(out))
     return (time.perf_counter() - t0) / iters
 
 

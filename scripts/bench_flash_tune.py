@@ -46,7 +46,7 @@ flops = 4 * B * H * T * T * HD  # QK^T + PV
 
 print("device:", jax.devices()[0], f" T={T} B={B} bf16")
 best = None
-for block in (256, 512):
+for block in (256, 512, 1024):
     for hb in (1, 2, 4, 8, None):
         for e2 in (False, True):
             fn = jax.jit(lambda q, k, v, g, r, kv, _b=block, _h=hb, _e=e2:
@@ -54,9 +54,14 @@ for block in (256, 512):
                              q, k, v, g, r, kv, num_buckets=NB,
                              max_distance=MD, block=_b, head_block=_h,
                              exp_base2=_e))
+            # block_until_ready is NOT a hard barrier over the axon
+            # tunnel (buffers report ready at enqueue); a 4-byte fetch of
+            # a device-side reduction is — programs run in stream order,
+            # so fetching sum(out) waits for every dispatched call.
+            sync = jax.jit(jnp.sum)
             try:
                 out = fn(q, k, v, gate, rel, kvalid)
-                jax.block_until_ready(out)
+                float(sync(out))
             except Exception as exc:  # VMEM overflow at big blocks etc.
                 print(f"block={block} hb={hb} e2={int(e2)}: FAIL "
                       f"{type(exc).__name__}: {str(exc)[:90]}")
@@ -64,7 +69,7 @@ for block in (256, 512):
             t0 = time.perf_counter()
             for _ in range(5):
                 out = fn(q, k, v, gate, rel, kvalid)
-            jax.block_until_ready(out)
+            float(sync(out))
             dt_s = (time.perf_counter() - t0) / 5
             tfs = flops / dt_s / 1e12
             tag = f"block={block} hb={'all' if hb is None else hb} e2={int(e2)}"

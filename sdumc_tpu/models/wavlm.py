@@ -80,12 +80,28 @@ class WavLMConfig:
     # ... or when scores+probs would exceed this many bytes (hard memory
     # trigger, independent of the speed crossover)
     flash_score_budget: int = 8 << 30
-    # 0 = auto: 512 for 2-byte dtypes, 256 for f32 — the measured optima
-    # of the head-packed kernel on v5e (ops/pallas/flash_wavlm.py sweep:
-    # bf16 blk 128/256/512 = 7.2/13.6/18.0 TF/s; f32 128/256 = 6.1/11.1).
-    # Bigger blocks amortize Mosaic per-step overhead and double-buffered
-    # bias-tile DMA; the tile table grows O(T*blk*H) and stays <100 MB.
+    # 0 = auto: 512 for 2-byte dtypes, 256 for f32. bf16 512 is the
+    # in-model measured optimum (scripts/bench_flash_inmodel.py: 356 ms
+    # per long8 call vs 380 ms at block=256 — kernel-only sweeps prefer
+    # 256 only through per-call tile-table rebuild that the encoder
+    # amortizes). Bigger blocks amortize per-step overhead and bias-tile
+    # DMA; the tile table grows O(T*blk*H) and stays <100 MB.
     flash_block: int = 0
+    # heads packed per flash grid step (0 = all H; rounded down to a
+    # divisor of H). In-model measured optimum for wavlm-large long clips
+    # (scripts/bench_flash_inmodel.py, B=8 T=2999 bf16 v5e): hb=8 at
+    # block=512 = 356 ms/call vs 380 ms for all-16 at block=256 — the
+    # kernel-only sweep (bench_flash_tune.py) prefers block=256 only
+    # because it rebuilds the bias-tile table per call, which the encoder
+    # amortizes over its 24 layers.
+    flash_head_block: int = 8
+    # softmax in the base-2 domain: log2(e) folds into the (host-built)
+    # bias tiles + q scale, removing the transcendental's internal
+    # multiply from the per-score hot path. Algebraically identical —
+    # and measured consistently SLOWER on v5e (every bench_flash_tune row:
+    # exp2 4-10% behind exp at matched block/hb; Mosaic's exp lowering
+    # evidently already folds the base conversion), so default off.
+    flash_exp_base2: bool = False
     ring_axis: str = "data"
 
     @staticmethod
@@ -263,9 +279,14 @@ class WavLMAttention(nn.Module):
 
             blk = cfg.resolved_flash_block()
             n_tiles = -(-T // blk)
+            # kernel-ready form (dtype + base-2 fold) is baked here ONCE;
+            # a per-layer cast of the ~90 MB table would re-stream it 24x
             position_bias = (rel_embed, bias_tiles_for(
                 rel_embed, n_tiles, blk,
-                cfg.num_buckets, cfg.max_bucket_distance))
+                cfg.num_buckets, cfg.max_bucket_distance,
+                dtype=jnp.bfloat16 if jnp.dtype(cfg.dtype).itemsize == 2
+                else jnp.float32,
+                exp_base2=cfg.flash_exp_base2))
 
         # --- gru_rel_pos gating of the shared bias
         gru_const = self.param("gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1))
@@ -315,6 +336,8 @@ class WavLMAttention(nn.Module):
                 num_buckets=cfg.num_buckets,
                 max_distance=cfg.max_bucket_distance,
                 block=cfg.resolved_flash_block(),
+                head_block=cfg.flash_head_block or None,
+                exp_base2=cfg.flash_exp_base2,
                 interpret=jax.default_backend() != "tpu",
             ).reshape(B, T, D)
             return nn.Dense(D, name="out_proj")(out), position_bias

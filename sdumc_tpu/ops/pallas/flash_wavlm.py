@@ -54,21 +54,31 @@ def bucket_from_rel(rel: jnp.ndarray, num_buckets: int, max_distance: int) -> jn
 
 
 def bias_tiles_for(rel_embed: jnp.ndarray, n_tiles: int, block: int,
-                   num_buckets: int, max_distance: int) -> jnp.ndarray:
+                   num_buckets: int, max_distance: int,
+                   dtype=jnp.float32, exp_base2: bool = False) -> jnp.ndarray:
     """[num_buckets, H] embedding -> [2*n_tiles-1, H, block, block] tile
     table. Tile d holds bias(rel) for rel = (d - n_tiles + 1)*block + s - t;
-    grid step (qi, kj) reads tile d = kj - qi + n_tiles - 1."""
+    grid step (qi, kj) reads tile d = kj - qi + n_tiles - 1.
+
+    ``dtype``/``exp_base2`` bake the kernel-ready form into the table (bf16
+    halves the dominant DMA stream; the base-2 fold multiplies log2(e) in)
+    so the per-layer wrapper never re-touches the O(T*blk*H) table — at
+    T=3000 the table is ~90 MB and the encoder calls the kernel 24x per
+    clip, so a per-layer cast/scale would add ~6 GB of pure HBM traffic."""
     d = jnp.arange(2 * n_tiles - 1)[:, None, None] - (n_tiles - 1)
     t = jnp.arange(block)[None, :, None]
     s = jnp.arange(block)[None, None, :]
     rel = d * block + s - t                                   # [n_d, blk, blk]
     buckets = bucket_from_rel(rel, num_buckets, max_distance)
     tiles = jnp.take(rel_embed, buckets, axis=0)              # [n_d, blk, blk, H]
-    return jnp.transpose(tiles, (0, 3, 1, 2)).astype(jnp.float32)
+    tiles = jnp.transpose(tiles, (0, 3, 1, 2)).astype(jnp.float32)
+    if exp_base2:
+        tiles = tiles * math.log2(math.e)
+    return tiles.astype(dtype)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref,
-                  out_ref, m_ref, l_ref, acc_ref, *, scale, n_k, hd, bb, hb,
+                  out_ref, m_ref, l_ref, acc_ref, *, n_k, hd, bb, hb,
                   precision, exp_base2):
     """q/k arrive AUGMENTED with two extra feature columns (wrapper):
 
@@ -97,12 +107,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref,
     Algebraically identical; float deviation is one extra rounding of the
     folded constants (~1e-7 relative on scores).
 
-    Measured (v5e, B=8 T=2999 wavlm-large shapes, 2026-08): head packing
-    plus block=512 bf16 lands 17.97 TF/s (16.4 ms; old per-head grid at
-    block=128 was 7.2 TF/s / 41 ms); f32 peaks at block=256, 11.1 TF/s.
+    Measured (v5e, B=8 T=2999 wavlm-large shapes, hard-sync barriers —
+    earlier numbers taken through block_until_ready were invalid, see
+    bench_flash_tune.py): the per-head fori_loop version ran 21.3-28.9 ms
+    standalone across every (block, hb, exp_base2) config — ~4.6 us per
+    (head, tile-pair) iteration against ~0.2 us of MXU work, i.e.
+    loop-carried latency. The batched form lands 17.3-18.0 ms standalone;
+    in-model (the number that counts — the encoder amortizes the tile
+    table over 24 layers) block=512/hb=8 wins: 356 ms per 24-layer
+    long8 call vs 407 ms before the rewrite. The residual is VPU exp
+    throughput over [blk, blk] scores (exp_base2 measured slower, so the
+    transcendental itself is the floor, not its base conversion).
     Packing bb>1 batch rows buys nothing further (bias DMA is already
-    amortized 16x over heads) and costs VMEM that the larger block spends
-    better, so batch_block defaults to 1."""
+    amortized over the packed heads) and costs VMEM that the larger
+    block spends better, so batch_block defaults to 1."""
     kj = pl.program_id(3)
 
     @pl.when(kj == 0)
@@ -111,45 +129,59 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def body(i, _):
-        b = i // hb
-        h = i % hb
-        qa = q_ref[b, h]                                       # [blk, hd+2]
-        ka = k_ref[b, h]                                       # [blk, hd+2]
-        v = v_ref[b, h]                                        # [blk, hd]
-        gate = qa[:, hd:hd + 1].astype(jnp.float32)            # [blk, 1]
-        bias = bias_ref[0, h].astype(jnp.float32)              # [blk, blk]
+    for b in range(bb):  # static unroll; bb defaults to 1
+        qa = q_ref[b]                                          # [hb, blk, hd+2]
+        ka = k_ref[b]                                          # [hb, blk, hd+2]
+        v = v_ref[b]                                           # [hb, blk, hd]
+        gate = qa[:, :, hd:hd + 1].astype(jnp.float32)         # [hb, blk, 1]
+        bias = bias_ref[0].astype(jnp.float32)                 # [hb, blk, blk]
 
+        # ONE batched dot over all hb heads (batch dim 0): a per-head
+        # fori_loop of [blk, hd+2] dots held this kernel to ~13 TF/s —
+        # 4.6 us per (head, tile-pair) iteration against ~0.2 us of MXU
+        # work, the rest loop-carried latency Mosaic can't pipeline. The
+        # batched form gives Mosaic hb independent dots and ONE vectorized
+        # softmax over [hb, blk, blk] to schedule.
+        #
         # precision is pinned explicitly (not inherited from the global
         # jax_default_matmul_precision): a global "highest" would request
         # fp32 contract precision on bf16 operands, which Mosaic rejects
         # at compile time. The production default is DEFAULT — the same
-        # MXU passes the einsum path it replaces runs at.
+        # MXU passes the einsum path it replaces runs at. The 1/sqrt(hd)
+        # score scale is folded into q by the wrapper (for hd=64 it is a
+        # power of two, so the fold is exact even in bf16) — no per-score
+        # VPU multiply here; the key-mask column rides the dot unscaled.
         s = jax.lax.dot_general(
-            qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
+            qa, ka, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=precision,
-        ) * scale                                              # mask included
+        )                                                      # mask included
         s = s + gate * bias
 
-        m_prev = m_ref[b, h]                                   # [blk, 1]
+        m_prev = m_ref[b]                                      # [hb, blk, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        # the bf16 cast is fused into the exp's output write (no separate
+        # f32->bf16 pass over [hb, blk, blk]); the row-sum for the softmax
+        # normalizer rides the PV dot through v's appended ones column
+        # (wrapper), moving a full VPU reduce pass onto the MXU — the
+        # f32-accumulated dot sums the same bf16-rounded p the PV product
+        # consumes. This kernel is VPU-bound on [blk, blk] passes (sweep:
+        # e2/hb/block moves <35%, MXU ~0.7 us of a 7.7 us step), so pass
+        # count is the lever.
         if exp_base2:
-            p = jnp.exp2(s - m_new)
+            p = jnp.exp2(s - m_new).astype(v.dtype)
             alpha = jnp.exp2(m_prev - m_new)
         else:
-            p = jnp.exp(s - m_new)
+            p = jnp.exp(s - m_new).astype(v.dtype)
             alpha = jnp.exp(m_prev - m_new)
-        l_ref[b, h] = l_ref[b, h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[b, h] = acc_ref[b, h] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        pv = jax.lax.dot_general(
+            p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=precision,
-        )
-        m_ref[b, h] = m_new
-        return 0
-
-    jax.lax.fori_loop(0, bb * hb, body, 0)
+        )                                                      # [hb, blk, hd+1]
+        l_ref[b] = l_ref[b] * alpha + pv[:, :, hd:hd + 1]
+        acc_ref[b] = acc_ref[b] * alpha + pv[:, :, :hd]
+        m_ref[b] = m_new
 
     @pl.when(kj == n_k - 1)
     def _():
@@ -230,7 +262,13 @@ def flash_gated_attention(
         v = jnp.pad(v, padb + [(0, 0)] * 3)
         gate = jnp.pad(gate, padb + [(0, 0), (0, 0)])
         kvalid = jnp.pad(kvalid, padb + [(0, 0)])
-    qt = jnp.transpose(q, (0, 2, 1, 3))                        # [Bp, H, Tp, hd]
+    # fold the score scale (and, in base-2 mode, log2(e)) into q on the
+    # host: one pass over [B, T, H, hd] replaces a per-grid-step VPU
+    # multiply over every [blk, blk] score tile. For hd=64 the 1/8 scale
+    # is a power of two — exact in bf16; the log2(e) factor adds one
+    # rounding, matching the fold already applied to the bias tiles.
+    eff_scale = scale * (math.log2(math.e) if exp_base2 else 1.0)
+    qt = jnp.transpose(q, (0, 2, 1, 3)) * jnp.asarray(eff_scale, q.dtype)
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
     # augmentation columns (see _flash_kernel docstring)
@@ -238,30 +276,35 @@ def flash_gated_attention(
     ones_col = jnp.ones_like(gate_col)
     qa = jnp.concatenate([qt, gate_col, ones_col], axis=-1)
     zeros_col = jnp.zeros_like(gate_col)
-    mask_col = jnp.where(kvalid > 0, 0.0, NEG / scale).astype(qt.dtype)
+    mask_col = jnp.where(kvalid > 0, 0.0, NEG).astype(qt.dtype)
     mask_col = jnp.broadcast_to(mask_col[:, None, :, None], (Bp, H, Tp, 1))
     ka = jnp.concatenate([kt, zeros_col, mask_col], axis=-1)
+    # ones column: the PV dot's last output column is then the row-sum of
+    # p — the softmax normalizer — so the kernel needs no VPU sum pass
+    va = jnp.concatenate([vt, jnp.ones_like(vt[..., :1])], axis=-1)
+    tile_dtype = jnp.bfloat16 if qt.dtype == jnp.bfloat16 else jnp.float32
     if bias_tiles is None:
-        tiles = bias_tiles_for(rel_embed, n, block, num_buckets, max_distance)
+        # bf16 tiles halve the dominant DMA stream; the gate*bias term is
+        # computed in f32 either way, so this only rounds the bias operand
+        # — well under the bf16 path's own score rounding
+        tiles = bias_tiles_for(rel_embed, n, block, num_buckets,
+                               max_distance, dtype=tile_dtype,
+                               exp_base2=exp_base2)
     else:
+        # caller-built tables must already be kernel-ready (same block /
+        # dtype / exp_base2 fold — the encoder builds them via
+        # bias_tiles_for once and carries them across all 24 layers)
         tiles = bias_tiles
         assert tiles.shape == (2 * n - 1, H, block, block), (
             tiles.shape, (2 * n - 1, H, block, block))
-    if exp_base2:
-        # fold log2(e) into the bias so the kernel's gate*bias madd needs
-        # no extra multiply; the score scale is folded below
-        tiles = tiles * math.log2(math.e)
-        scale = scale * math.log2(math.e)
-    if qt.dtype == jnp.bfloat16:
-        # halve the dominant DMA stream; the gate*bias term is computed in
-        # f32 either way, so this only rounds the bias operand — well under
-        # the bf16 path's own score rounding
-        tiles = tiles.astype(jnp.bfloat16)
+        if tiles.dtype != tile_dtype:
+            tiles = tiles.astype(tile_dtype)
 
     hb = H if head_block is None else min(head_block, H)
-    assert H % hb == 0, (H, hb)
+    while H % hb:  # largest divisor of H <= head_block (H=12 & hb=8 -> 6)
+        hb -= 1
     grid = (Bp // bb, H // hb, n, n)
-    kernel = functools.partial(_flash_kernel, scale=scale, n_k=n, hd=hd,
+    kernel = functools.partial(_flash_kernel, n_k=n, hd=hd,
                                bb=bb, hb=hb, precision=precision,
                                exp_base2=exp_base2)
     out = pl.pallas_call(
@@ -272,7 +315,7 @@ def flash_gated_attention(
                          lambda g, hj, qi, kj: (g, hj, qi, 0)),
             pl.BlockSpec((bb, hb, block, hd + 2),
                          lambda g, hj, qi, kj: (g, hj, kj, 0)),
-            pl.BlockSpec((bb, hb, block, hd),
+            pl.BlockSpec((bb, hb, block, hd + 1),
                          lambda g, hj, qi, kj: (g, hj, kj, 0)),
             pl.BlockSpec(
                 (1, hb, block, block),
@@ -293,7 +336,7 @@ def flash_gated_attention(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qa, ka, vt, tiles)
+    )(qa, ka, va, tiles)
 
     out = jnp.transpose(out, (0, 2, 1, 3))                     # [Bp, Tp, H, hd]
     return out[:B, :T]
@@ -382,23 +425,28 @@ def _flash_bwd_scan(q, k, v, gate, rel_embed, kvalid, out, dout,
             dgate.astype(gate.dtype), drel.astype(rel_embed.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _flash_trainable(num_buckets, max_distance, block, chunk, interpret,
+                     head_block, exp_base2,
                      q, k, v, gate, rel_embed, kvalid, bias_tiles):
     return flash_gated_attention(
         q, k, v, gate, rel_embed, kvalid, bias_tiles,
         num_buckets=num_buckets, max_distance=max_distance,
-        block=block, interpret=interpret)
+        block=block, head_block=head_block, exp_base2=exp_base2,
+        interpret=interpret)
 
 
 def _flash_trainable_fwd(num_buckets, max_distance, block, chunk, interpret,
+                         head_block, exp_base2,
                          q, k, v, gate, rel_embed, kvalid, bias_tiles):
     out = _flash_trainable(num_buckets, max_distance, block, chunk, interpret,
+                           head_block, exp_base2,
                            q, k, v, gate, rel_embed, kvalid, bias_tiles)
     return out, (q, k, v, gate, rel_embed, kvalid, bias_tiles, out)
 
 
 def _flash_trainable_bwd(num_buckets, max_distance, block, chunk, interpret,
+                         head_block, exp_base2,
                          res, dout):
     q, k, v, gate, rel_embed, kvalid, bias_tiles, out = res
     dq, dk, dv, dgate, drel = _flash_bwd_scan(
@@ -417,21 +465,28 @@ _flash_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
 def flash_gated_attention_trainable(
     q, k, v, gate, rel_embed, kvalid=None, bias_tiles=None, *,
     num_buckets, max_distance, block: int = 128, chunk: int = 128,
+    head_block: int | None = None, exp_base2: bool = False,
     interpret: bool = False,
 ):
     """flash_gated_attention with exact gradients (see module comment).
     Forward cost is identical to the kernel path; the custom backward only
     runs under differentiation. ``bias_tiles`` must be consistent with
-    ``rel_embed`` when given (the encoder builds them from the same param
-    and shares them across layers)."""
+    ``rel_embed`` AND with (block, dtype, exp_base2) when given (the
+    encoder builds them kernel-ready via ``bias_tiles_for`` once and
+    shares them across layers). The backward recomputes softmax from
+    ``rel_embed`` directly, so head_block/exp_base2 only shape the
+    forward kernel."""
     if kvalid is None:
         kvalid = jnp.ones(q.shape[:2], jnp.float32)
     if bias_tiles is None:
         T = q.shape[1]
         n = (T + block - 1) // block
+        tile_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
         bias_tiles = bias_tiles_for(rel_embed, n, block,
-                                    num_buckets, max_distance)
+                                    num_buckets, max_distance,
+                                    dtype=tile_dtype, exp_base2=exp_base2)
     return _flash_trainable(num_buckets, max_distance, block, chunk,
-                            interpret, q, k, v, gate,
+                            interpret, head_block, exp_base2,
+                            q, k, v, gate,
                             rel_embed, kvalid.astype(jnp.float32),
                             bias_tiles)
