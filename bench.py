@@ -146,15 +146,18 @@ def bench_train(precision: str | None = None, want_roofline: bool = False,
     + backward + Adam), metrics kept on device (train/loop.py accumulates
     without per-step host syncs).
 
-    Why train is ~6x slower than eval (round-2 profile, fetch-barrier
-    timings + XLA cost analysis on v5e): the train program touches 12.7 GB
-    per 128-clip batch vs eval's 1.9 GB (6.6x) and actually runs at BETTER
-    HBM utilization (~49% vs ~43% of the 819 GB/s peak) — the ratio is the
-    work, not an inefficiency. Measured non-causes: matmul precision
-    (highest vs default: 3992 vs 4055 clips/s), RnC (no change), dropout.
-    jax.checkpoint remat LOSES here (12.7 -> 17.5 GB, 3985 -> 3067 clips/s
-    — recompute re-reads the big feature tensors). bfloat16 features cut
-    the feature reads: 4509 clips/s (+13%), the same fast path eval uses.
+    Round-4 state (per-op trace in profiles/step_ops.md + this roofline):
+    the step is HBM-BOUND — bf16 features with "auto" compute_dtype run
+    every [2B, T, 256] frame stream (76% of device time was elementwise/
+    reduce fusions over those streams in f32) in bf16, taking the step
+    from 4,612 to ~11.7k clips/s at 98.7% of the 819 GB/s HBM peak. The
+    remaining traffic is the streams themselves (projections, 6 reference-
+    mandated frame-level dropouts, their backward re-reads) at half width;
+    dropout mask generation rides the TPU hardware RNG (rng_impl="rbg" —
+    threefry mask gen over [2B, T, d] was real VPU time in the trace).
+    Earlier measured non-causes, still true: matmul precision (highest vs
+    default moved <2%), RnC, remat (LOSES: recompute re-reads the big
+    feature tensors).
 
     ``precision`` overrides ModelConfig.matmul_precision (None = config
     default)."""
@@ -176,7 +179,7 @@ def bench_train(precision: str | None = None, want_roofline: bool = False,
     model, params = build_model_and_params(cfg, DIMS)
     state = create_train_state(model, jax.device_put(params), lambda s: 1e-4, l2=1e-5)
     step = make_train_step(model, cfg.loss)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl="rbg")  # production rng (TrainConfig.rng_impl)
 
     device_batches = stage_device_batches(feature_dtype)
 
@@ -367,7 +370,7 @@ def bench_e2e_overlapped():
     state = create_train_state(model, jax.device_put(params), lambda s: 1e-4,
                                l2=1e-5)
     step = make_train_step(model, ExperimentConfig().loss)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl="rbg")  # production rng (TrainConfig.rng_impl)
     device_batches = stage_device_batches("bfloat16")
 
     # compile every bucket combo + warm pipeline/ring

@@ -220,7 +220,7 @@ def main(argv=None):
                                lambda s: 1e-4, l2=1e-5)
     step = make_train_step(model, cfg.loss)
     eval_step = make_eval_step(model)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl="rbg")  # production rng (TrainConfig.rng_impl)
 
     state_box = [state]
 

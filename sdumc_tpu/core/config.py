@@ -138,6 +138,13 @@ class ModelConfig:
     # gate the substitution behind this flag.
     use_imagination: bool = False
     dtype: str = "float32"           # fusion net is small; f32 for parity
+    # Frame-stream activation dtype for the fusion net. "auto" follows the
+    # features' dtype: f32 inputs (checkpoint-parity flows) compute exactly
+    # as before; bf16 features — the production store — get bf16
+    # activations through every [B, T, d] stream, which is 76% of the
+    # train step's device time (profiles/step_ops.md). Params, softmaxes,
+    # pooled tensors, heads, and losses stay f32 either way.
+    compute_dtype: str = "auto"
     # Matmul precision: "highest" = true f32 (required for checkpoint-exact
     # parity; the 12.8M-param fusion net is bandwidth-bound so this is ~free),
     # "default" = backend fast path (bf16 MXU passes on TPU) for bulk
@@ -194,6 +201,12 @@ class TrainConfig:
     checkpoint_dir: str = "./saved/ckpt"
     keep_checkpoints: int = 2
     log_every_steps: int = 50
+    # PRNG implementation for the training rng (dropout masks). "rbg" uses
+    # the TPU's hardware bit generator — threefry mask generation over the
+    # [2B, T, d] frame streams is real VPU time in the step profile, and
+    # dropout needs no counter-based reproducibility-across-shardings
+    # guarantees. "threefry2x32" restores JAX's default stream.
+    rng_impl: str = "rbg"
 
 
 @dataclasses.dataclass(frozen=True)

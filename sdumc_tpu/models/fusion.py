@@ -60,6 +60,7 @@ class FRA2UTTNew(nn.Module):
     softmax_scale: float = 0.3
     dropout: float = 0.5
     use_pallas: bool = False
+    dtype: object = None  # frame-stream compute dtype (see Linear.dtype)
 
     @nn.compact
     def __call__(self, x, *, t_max=None, deterministic: bool = True):
@@ -79,7 +80,9 @@ class FRA2UTTNew(nn.Module):
             )
             attn = None
         else:
-            proj = Linear(self.dim, name="input_proj")
+            proj = Linear(self.dim, name="input_proj", dtype=self.dtype)
+            # scores promote to f32 through the f32 context vector; the
+            # softmax and the [B, T] map stay f32 (tiny next to [B, T, d])
             scores = jnp.einsum("btd,d->bt", jnp.tanh(proj(x)), context[0])
             scores = mask_time_scores(self.softmax_scale * scores, t_max, axis=1)
             attn = nn.softmax(scores, axis=1)[..., None]
@@ -99,10 +102,11 @@ class CrossAttention(nn.Module):
     softmax_scale: float = 0.3
     dropout: float = 0.5
     use_pallas: bool = False
+    dtype: object = None  # frame-stream compute dtype (see Linear.dtype)
 
     @nn.compact
     def __call__(self, query, x, *, t_max=None, deterministic: bool = True):
-        q_proj = Linear(self.dim, name="query_proj")
+        q_proj = Linear(self.dim, name="query_proj", dtype=self.dtype)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         q = q_proj(query)
         if self.use_pallas and not getattr(t_max, "ndim", 0):  # see FRA2UTTNew
@@ -115,12 +119,16 @@ class CrossAttention(nn.Module):
             )
             attn = None
         else:
-            k_proj = Linear(self.dim, name="input_proj")
+            k_proj = Linear(self.dim, name="input_proj", dtype=self.dtype)
             k = jnp.tanh(k_proj(x))
             scores = jnp.einsum("btd,bqd->btq", k, q)
-            scores = mask_time_scores(self.softmax_scale * scores, t_max, axis=1)
+            # bf16 frame streams: the [B, T, 7] scores/softmax go back to
+            # f32 — stability costs nothing here, the tensor is 1/d the
+            # size of the streams the low dtype is shrinking
+            scores = mask_time_scores(
+                self.softmax_scale * scores.astype(jnp.float32), t_max, axis=1)
             attn = nn.softmax(scores, axis=1)
-            out = jnp.einsum("btd,btq->bqd", x, attn)
+            out = jnp.einsum("btd,btq->bqd", x, attn.astype(x.dtype))
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return out, attn
 
@@ -188,10 +196,20 @@ class SDUMCFusion(nn.Module):
         det = deterministic
         use_pallas = cfg.use_pallas == "on"  # "auto" -> XLA path (see config)
 
+        # frame-stream compute dtype: "auto" follows the features' dtype,
+        # so f32 inputs (checkpoint-parity paths) run exactly as before
+        # while bf16 features (the production store) get bf16 activations
+        # through every [B, T, d] stream — the train step's dominant HBM
+        # traffic (profiles/step_ops.md). Params stay f32; softmaxes,
+        # pooled [B, d] tensors, heads, and losses stay f32.
+        cdt = (audio.dtype if getattr(cfg, "compute_dtype", "auto") == "auto"
+               else jnp.dtype(cfg.compute_dtype))
+        cdt = None if jnp.dtype(cdt) == jnp.float32 else cdt
+
         # --- input projections (:193-195, :282-284)
-        proj_a = Linear(d, name="frame_dim_reshape_0")
-        proj_t = Linear(d, name="frame_dim_reshape_1")
-        proj_v = Linear(d, name="frame_dim_reshape_2")
+        proj_a = Linear(d, name="frame_dim_reshape_0", dtype=cdt)
+        proj_t = Linear(d, name="frame_dim_reshape_1", dtype=cdt)
+        proj_v = Linear(d, name="frame_dim_reshape_2", dtype=cdt)
         if dual:
             # fused dual-view: project each text stream at its own bucket
             # (shared params), pad the PROJECTED width-d streams to a common
@@ -222,9 +240,9 @@ class SDUMCFusion(nn.Module):
             video_f = proj_v(video)
 
         # --- frame->utterance pooling (:288-290)
-        pool_a = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="fra2utt_0")
-        pool_t = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="fra2utt_1")
-        pool_v = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="fra2utt_2")
+        pool_a = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, dtype=cdt, name="fra2utt_0")
+        pool_t = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, dtype=cdt, name="fra2utt_1")
+        pool_v = FRA2UTTNew(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, dtype=cdt, name="fra2utt_2")
         audio_pre, attn_a = pool_a(audio_f, t_max=ta, deterministic=det)
         text_pre, attn_t = pool_t(text_f, t_max=tt, deterministic=det)
         video_pre, attn_v = pool_v(video_f, t_max=tv, deterministic=det)
@@ -272,9 +290,9 @@ class SDUMCFusion(nn.Module):
         )  # [B, 7, D]
 
         # --- cross attention back over each modality's frames (:334-336)
-        xatt_a = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="cross_att_fra2utt_0")
-        xatt_t = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="cross_att_fra2utt_1")
-        xatt_v = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, name="cross_att_fra2utt_2")
+        xatt_a = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, dtype=cdt, name="cross_att_fra2utt_0")
+        xatt_t = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, dtype=cdt, name="cross_att_fra2utt_1")
+        xatt_v = CrossAttention(d, cfg.softmax_scale, cfg.attn_dropout, use_pallas, dtype=cdt, name="cross_att_fra2utt_2")
         cross_audio, _ = xatt_a(multi_query, audio_f, t_max=ta, deterministic=det)
         cross_text, _ = xatt_t(multi_query, text_f, t_max=tt, deterministic=det)
         cross_video, _ = xatt_v(multi_query, video_f, t_max=tv, deterministic=det)

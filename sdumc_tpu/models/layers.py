@@ -36,20 +36,31 @@ class Linear(nn.Module):
     precision defaults to HIGHEST (true f32): JAX's backend default matmul
     runs a low-precision fast path (bf16 passes on the TPU MXU and even on
     the CPU backend) that breaks checkpoint-exact parity with the reference.
+
+    ``dtype`` is the COMPUTE dtype (params are stored f32 regardless —
+    flax casts them per-matmul): bf16 halves the HBM bytes of every
+    frame-level activation, the dominant stream of the fusion net's train
+    step (profiles/step_ops.md: 76% of device time in elementwise/reduce
+    fusions over f32[2B, T, 256]). A non-f32 dtype drops the HIGHEST
+    precision request — three-pass bf16x3 emulation would re-inflate the
+    cost the cast is buying back.
     """
 
     features: int
     precision: str = "highest"
+    dtype: object = None  # None = promote (f32 params -> f32 compute)
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
+        low = self.dtype is not None and jnp.dtype(self.dtype).itemsize < 4
         return nn.Dense(
             self.features,
             kernel_init=torch_linear_kernel_init,
             bias_init=torch_linear_bias_init_for(fan_in),
+            dtype=self.dtype,
             precision=jax.lax.Precision(self.precision)
-            if self.precision != "default"
+            if self.precision != "default" and not low
             else None,
             name="dense",
         )(x)

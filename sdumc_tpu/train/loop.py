@@ -173,7 +173,7 @@ def train(
     state = create_train_state(model, params, lr_sched, cfg.train.l2)
     train_step = make_train_step(model, cfg.loss)
     eval_step = make_eval_step(model)
-    rng = jax.random.PRNGKey(cfg.train.seed)
+    rng = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
 
     best_full = {"mae": float("inf")}
     best_missing = {"mae": float("inf")}
