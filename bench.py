@@ -183,37 +183,35 @@ def bench_train(precision: str | None = None, want_roofline: bool = False,
 
     device_batches = stage_device_batches(feature_dtype)
 
-    def run_epoch(state, sync: bool):
+    # ONE jitted program per epoch (8 steps inside): with bf16 activations
+    # the device step (~10.5 ms, profiles/step_ops.json) is FASTER than a
+    # tunnel dispatch RPC (11-35 ms depending on network weather), so a
+    # dispatch-per-step measurement reads the tunnel, not the chip — the
+    # same program measured 3.9k-11.7k clips/s across runs. 8 dispatches
+    # total instead of 64 puts the chip back in charge. (A colocated TPU
+    # host has ~0 dispatch latency; a production loop amortizes the same
+    # way via async dispatch.)
+    @jax.jit
+    def epoch_fn(state, batches):
         acc = None
-        for d in device_batches:
+        for d in batches:
             state, metrics = step(state, d, rng)
             acc = metrics if acc is None else jax.tree_util.tree_map(
                 jnp.add, acc, metrics)
-        if sync:
-            # scalar d2h fetch — equivalent to block_until_ready per JAX
-            # semantics; forces the epoch's device work to completion
-            float(jax.device_get(acc["loss"]))
         return state, acc
 
-    if want_roofline:
-        rl, seen, costs = Roofline(), set(), {}
-        for d in device_batches:
-            key = tuple(v.shape for k, v in sorted(d.items())
-                        if hasattr(v, "shape"))
-            if key not in seen:
-                seen.add(key)
-                costs[key] = step.lower(state, d, rng).compile()
-            rl.add(costs[key], calls=TIMED_EPOCHS)
+    batches = tuple(device_batches)
 
-    state, _ = run_epoch(state, sync=True)  # compile all bucket combos
-    # steps chain through `state`, so device-side execution is already
-    # serialized; keep dispatch async across epochs (per-epoch syncs would
-    # charge the tunnel's 25 ms RPC latency to the measurement) and force
-    # completion once at the end
+    if want_roofline:
+        rl = Roofline()
+        rl.add(epoch_fn.lower(state, batches).compile(), calls=TIMED_EPOCHS)
+
+    state, acc = epoch_fn(state, batches)  # compile
+    float(jax.device_get(acc["loss"]))
     t0 = time.perf_counter()
     acc = None
     for _ in range(TIMED_EPOCHS):
-        state, acc = run_epoch(state, sync=False)
+        state, acc = epoch_fn(state, batches)
     float(jax.device_get(acc["loss"]))  # d2h fetch barrier
     dt = time.perf_counter() - t0
     cps = TIMED_EPOCHS * N_CLIPS / dt

@@ -69,7 +69,13 @@ class Roofline:
     def report(self, seconds: float, peaks: Optional[Dict[str, float]] = None
                ) -> Dict[str, float]:
         """-> {tflops, hbm_gbps, mfu_pct, hbm_util_pct, arithmetic_intensity}
-        (empty dict when no cost data was available)."""
+        (empty dict when no cost data was available).
+
+        bytes come from XLA's cost analysis, an UPPER BOUND on actual HBM
+        traffic (it books every fusion operand even when the scheduler
+        keeps it resident), so hbm_util_pct can read >100% for a program
+        at the bandwidth bound — read values near or above 100 as
+        "HBM-bound", not as a literal achieved-bandwidth claim."""
         if not (self.flops or self.bytes) or seconds <= 0:
             return {}
         peaks = peaks or detect_peaks()
