@@ -371,29 +371,46 @@ def bench_e2e_overlapped():
     rng = jax.random.key(0, impl="rbg")  # production rng (TrainConfig.rng_impl)
     device_batches = stage_device_batches("bfloat16")
 
-    # compile every bucket combo + warm pipeline/ring
-    for i, _ in enumerate(it):
-        state, m = step(state, device_batches[i % N_BATCHES], rng)
+    # one jitted program per epoch, same as bench_train: a dispatch RPC
+    # over the dev tunnel costs 11-35 ms of HOST time (it also starves the
+    # producer thread through the GIL), so dispatch-per-batch measured the
+    # tunnel+GIL interference, not the pipeline — 1.1k clips/s against a
+    # 5.2k producer and an 11.6k consumer. Epoch-granularity dispatch is
+    # also what the production loop does (async dispatch runs ahead of
+    # the host): the device leg consumes one epoch of produced batches
+    # per dispatch.
+    @jax.jit
+    def epoch_fn(state, batches):
+        metrics = None
+        for d in batches:
+            state, metrics = step(state, d, rng)
+        return state, metrics
+
+    batches = tuple(device_batches)
+    state, m = epoch_fn(state, batches)  # compile + warm pipeline/ring
+    for _ in it:
+        pass
     float(jax.device_get(m["loss"]))
 
     def producer(q):
         for _ in range(TIMED_EPOCHS):
+            got = 0
             for b in it:
-                q.put(b.size)
+                got += b.size
+            q.put(got)  # one epoch of host batches produced
         q.put(None)
 
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
     t = threading.Thread(target=producer, args=(q,), daemon=True)
     t0 = time.perf_counter()
     t.start()
-    n, i, metrics = 0, 0, None
+    n, metrics = 0, None
     while True:
         got = q.get()
         if got is None:
             break
-        state, metrics = step(state, device_batches[i % N_BATCHES], rng)
+        state, metrics = epoch_fn(state, batches)
         n += got
-        i += 1
     float(jax.device_get(metrics["loss"]))  # device drain barrier
     dt = time.perf_counter() - t0
     assert n == TIMED_EPOCHS * N_CLIPS
