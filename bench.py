@@ -106,37 +106,32 @@ def bench_ours(feature_dtype: str = "float32", want_roofline: bool = False):
     eval_step = make_eval_step(model)
     device_batches = stage_device_batches(feature_dtype)
 
-    def run_epoch():
-        outs = [eval_step(params, d) for d in device_batches]
-        # one device->host sync per epoch (preds are tiny)
-        return np.concatenate([np.asarray(v0) for v0, _ in outs])
+    # ONE jitted program per epoch (all 8 bucketed batches inside), same
+    # rationale as bench_train: with bf16 activations the device eval step
+    # is ~1.3 ms (profiles/step_ops.json) while a dev-tunnel dispatch RPC
+    # is 11-35 ms, so dispatch-per-batch reads tunnel weather (56-72k
+    # clips/s run-to-run). 8 epoch dispatches keep the chip the bottleneck.
+    batches = tuple(device_batches)
 
-    run_epoch()  # compile all bucket combos + tunnel d2h warmup
-    # dispatch ALL timed epochs asynchronously, one sync at the end: over
-    # the dev tunnel each dispatch RPC costs ~25 ms, which would otherwise
-    # be half the measurement (a real TPU host has none of that latency)
+    @jax.jit
+    def epoch_fn(params, batches):
+        return tuple(eval_step(params, d)[0] for d in batches)
+
+    preds0 = epoch_fn(params, batches)  # compile + tunnel d2h warmup
+    np.asarray(preds0[-1])
     t0 = time.perf_counter()
-    outs = []
-    for _ in range(TIMED_EPOCHS):
-        outs.extend(eval_step(params, d) for d in device_batches)
+    outs = [epoch_fn(params, batches) for _ in range(TIMED_EPOCHS)]
     # barrier = d2h fetch of the last output: programs execute in launch
     # order on the single device stream, so this waits for everything
-    np.asarray(outs[-1][0])
+    np.asarray(outs[-1][-1])
     dt = time.perf_counter() - t0
-    preds = np.concatenate([np.asarray(v0) for v0, _ in outs[-N_BATCHES:]])
+    preds = np.concatenate([np.asarray(v0) for v0 in outs[-1]])
     assert preds.shape[0] == N_CLIPS
     cps = TIMED_EPOCHS * N_CLIPS / dt
     if not want_roofline:
         return cps
     rl = Roofline()
-    seen = set()
-    costs = {}
-    for d in device_batches:
-        key = tuple(v.shape for k, v in sorted(d.items()) if hasattr(v, "shape"))
-        if key not in seen:
-            seen.add(key)
-            costs[key] = eval_step.lower(params, d).compile()
-        rl.add(costs[key], calls=TIMED_EPOCHS)
+    rl.add(epoch_fn.lower(params, batches).compile(), calls=TIMED_EPOCHS)
     return cps, rl.report(dt)
 
 
@@ -522,6 +517,32 @@ def main():
         print(json.dumps(blob))
         return
     baseline = get_baseline()
+    # measured overlapped e2e runs FIRST, in a fresh subprocess: (a) on
+    # this 1-core host it is acutely sensitive to in-process residue from
+    # the other sections (compiled-program arenas, GC pressure, lingering
+    # prefetch threads — measured 1.7k in-process vs 4.6k standalone for
+    # identical code), and (b) the axon tunnel serves ONE client at a
+    # time, so it must own the device before this process's jax client
+    # initializes. Reuses the persistent compile cache.
+    import subprocess
+    try:
+        # generous timeout: the first run after ANY bench.py edit pays a
+        # full epoch-program compile (~20 min over the remote-compile
+        # tunnel — jit cache keys shift with source lines); later runs
+        # cache-hit and finish in ~2 min
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, %r); import bench; "
+             "print('E2E', bench.bench_e2e_overlapped())" % REPO],
+            capture_output=True, text=True, timeout=2700)
+        e2e_lines = [ln for ln in r.stdout.splitlines()
+                     if ln.startswith("E2E ")]
+    except subprocess.TimeoutExpired:
+        e2e_lines = []
+    # in-process fallback UNDERSTATES the pipeline (see comment above) —
+    # better a conservative measured number than none
+    e2e_cps = (float(e2e_lines[-1].split()[1]) if e2e_lines
+               else bench_e2e_overlapped())
     # bf16 features are the benchmarked production default (f32 kept for the
     # checkpoint-exact parity path); rooflines are reported for BOTH so the
     # headline number has its own MFU/HBM attribution (VERDICT r2 item 4)
@@ -535,7 +556,6 @@ def main():
     host_bf16_cps, host_bf16_gbps = bench_host_pipeline(
         packed=True, dtype="bfloat16", want_gbps=True)
     memcpy_bound = _host_memcpy_gbps()
-    e2e_cps = bench_e2e_overlapped()
     base = baseline.get("clips_per_sec") or float("nan")
     vs = ours / base if np.isfinite(base) and base > 0 else None
     import jax
