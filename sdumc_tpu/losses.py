@@ -149,16 +149,6 @@ def supcon_loss(
     return jnp.mean(loss.reshape(anchor_count, bsz))
 
 
-def _drop_diagonal(x: jnp.ndarray) -> jnp.ndarray:
-    """[n, n] -> [n, n-1], dropping column i of row i and keeping column
-    order — exactly the reference's masked_select+view (loss.py:294-296)."""
-    n = x.shape[0]
-    rows = jnp.arange(n)[:, None]
-    k = jnp.arange(n - 1)[None, :]
-    cols = k + (k >= rows)
-    return jnp.take_along_axis(x, cols, axis=1)
-
-
 def rnc_loss(
     features: jnp.ndarray,
     labels: jnp.ndarray,
@@ -188,18 +178,25 @@ def rnc_loss(
     sim = jnp.where(sq > 0.0, sim, 0.0)
     logits = sim / temperature
     logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True))
-    exp_logits = jnp.exp(logits)
 
+    # The diagonal is dropped by MASKING on the full [n, n] matrices, not by
+    # _drop_diagonal gathers: take_along_axis at [n, n-1] lowers to a
+    # scalar-core gather on TPU — measured 634 us PER CALL at n=256 on v5e
+    # (profiles/train_hlo_top.md fusion.2/3/4 + their backward scatters were
+    # ~3 ms of a 10.5 ms train step). Values at masked positions never
+    # contribute: exp_logits[i,i] is zeroed before the denominator sum, and
+    # the final per-pair sum is masked to k != i, so every denom[i, k!=i]
+    # equals the gathered version's entry exactly (neg_mask only compares
+    # label_diffs values at (i,k)/(i,j), which masking leaves untouched).
     n = logits.shape[0]
-    logits = _drop_diagonal(logits)          # [n, n-1]
-    exp_logits = _drop_diagonal(exp_logits)  # [n, n-1]
-    label_diffs = _drop_diagonal(label_diffs)
+    offdiag = 1.0 - jnp.eye(n, dtype=logits.dtype)
+    exp_logits = jnp.exp(logits) * offdiag                    # e[i, i] = 0
 
     # neg_mask[i, k, j] = label_diffs[i, j] >= label_diffs[i, k] - 1e-4
     neg_mask = (
         label_diffs[:, None, :] >= label_diffs[:, :, None] - 0.0001
     ).astype(logits.dtype)
-    # denom[i, k] = sum_j neg_mask[i, k, j] * exp_logits[i, j]
+    # denom[i, k] = sum_{j != i} neg_mask[i, k, j] * exp_logits[i, j]
     denom = jnp.einsum("ikj,ij->ik", neg_mask, exp_logits)
-    pos_log_probs = logits - jnp.log(denom)
+    pos_log_probs = (logits - jnp.log(denom)) * offdiag
     return -jnp.sum(pos_log_probs) / (n * (n - 1))

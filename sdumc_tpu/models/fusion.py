@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from sdumc_tpu.core.config import ModelConfig
 from sdumc_tpu.core.registry import MODELS
-from sdumc_tpu.models.layers import MLP, Linear
+from sdumc_tpu.models.layers import MLP, FrameDropout, Linear
 from sdumc_tpu.models.residual_ae import ResidualAE
 from sdumc_tpu.ops.masking import mask_time_scores
 
@@ -65,7 +65,9 @@ class FRA2UTTNew(nn.Module):
     @nn.compact
     def __call__(self, x, *, t_max=None, deterministic: bool = True):
         context = self.param("context", _xavier_normal_vector, (1, self.dim))
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        # u8-bit mask dropout for the [B, T, d] stream (see FrameDropout);
+        # the pooled [B, d] dropout below stays nn.Dropout
+        x = FrameDropout(self.dropout)(x, deterministic=deterministic)
         # the Mosaic kernel prefetches one scalar t_max; per-row vectors
         # (fused dual-view text stream) take the einsum path — param paths
         # match (LinearParams twin), so the branch choice is numerics-free
@@ -107,7 +109,8 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, query, x, *, t_max=None, deterministic: bool = True):
         q_proj = Linear(self.dim, name="query_proj", dtype=self.dtype)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        # u8-bit mask dropout for the [B, T, d] stream (see FrameDropout)
+        x = FrameDropout(self.dropout)(x, deterministic=deterministic)
         q = q_proj(query)
         if self.use_pallas and not getattr(t_max, "ndim", 0):  # see FRA2UTTNew
             from sdumc_tpu.models.layers import LinearParams
@@ -200,8 +203,12 @@ class SDUMCFusion(nn.Module):
         # so f32 inputs (checkpoint-parity paths) run exactly as before
         # while bf16 features (the production store) get bf16 activations
         # through every [B, T, d] stream — the train step's dominant HBM
-        # traffic (profiles/step_ops.md). Params stay f32; softmaxes,
-        # pooled [B, d] tensors, heads, and losses stay f32.
+        # traffic (profiles/step_ops.md). Params and softmaxes stay f32.
+        # NOTE (ADVICE r4): CrossAttention's [B, 7, d] output is bf16 on
+        # this path (x and attn cast to x.dtype before the weighted sum);
+        # the FRA2UTT pooled vectors stay f32 only via promotion through
+        # the f32 attention map. Downstream Dense layers promote back to
+        # f32, so the bf16 leg costs one extra rounding on tiny tensors.
         cdt = (audio.dtype if getattr(cfg, "compute_dtype", "auto") == "auto"
                else jnp.dtype(cfg.compute_dtype))
         cdt = None if jnp.dtype(cdt) == jnp.float32 else cdt

@@ -95,6 +95,40 @@ class LinearParams(nn.Module):
         return _DenseParams(self.features, name="dense")(fan_in)
 
 
+class FrameDropout(nn.Module):
+    """HBM-lean dropout for the big ``[B, T, d]`` frame streams.
+
+    ``nn.Dropout`` draws u32 bits per element and thresholds a float
+    uniform: at [2B=256, T=512, d=256] the TPU materializes a 134 MB u32
+    tensor plus a 33 MB pred mask per dropout call (profiles/
+    train_hlo_top.md — the two audio-stream dropouts alone were ~0.5 GB of
+    mask traffic per train step). Here the mask is drawn as raw u8 bits
+    (rng-bit-generator emits ui8 directly — 4x fewer bytes) and the
+    threshold compare fuses into the multiply; the backward re-reads the
+    same 1-byte bits.
+
+    The drop probability is quantized to k/256. The live rate — the
+    reference's hardcoded 0.5 frame/attention dropout (FRA2UTT_new /
+    Cross_Attention) — is exactly representable (k=128); the kept-path
+    scale uses the exact realized keep probability ``1 - k/256`` so the
+    expectation is unbiased at any rate. Small tensors keep ``nn.Dropout``
+    (same stream, float-exact rates)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        thresh = int(round(self.rate * 256))
+        if thresh <= 0:
+            return x
+        keep_p = 1.0 - thresh / 256.0
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
+        scaled = x * jnp.asarray(1.0 / keep_p, x.dtype)
+        return jnp.where(bits >= thresh, scaled, jnp.zeros_like(scaled))
+
+
 class MLP(nn.Module):
     """[Linear -> ReLU -> Dropout] stack (reference `MLP`,
     wengnet_mosei_mult_views_text_missing.py:264-273)."""
