@@ -135,7 +135,7 @@ def bench_wavlm(reps: int = 12) -> dict:
     return out
 
 
-def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
+def bench_feat4(batches=(1, 2, 4, 8, 16, 32), prompt: int = 128, new: int = 48,
                 reps: int = 2, quant: str | None = None,
                 kv_quant: str | None = None,
                 profile_dir: str | None = None) -> dict:
@@ -150,8 +150,27 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
     # a cache-hit compiled1 can REQUIRE q/k_proj kernels at
     # major_to_minor=(0, 2, 1) while its .input_formats reports (0, 1, 2)
     # — device_put to the reported layout then dies with "compiled for
-    # input layouts that disagree". Fresh-compile this section always.
+    # input layouts that disagree". Fresh-compile this section always; the
+    # prior cache setting is restored in the finally below so sections that
+    # run after a feat4 call don't silently pay full remote recompiles
+    # (ADVICE r4).
+    prior_cache = jax.config.jax_enable_compilation_cache
     jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        return _bench_feat4_inner(batches, prompt, new, reps, quant,
+                                  kv_quant, profile_dir)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prior_cache)
+
+
+def _bench_feat4_inner(batches, prompt, new, reps, quant, kv_quant,
+                       profile_dir):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdumc_tpu.models.generation import beam_generate_batched
+    from sdumc_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 
     # scan_layers: one compiled layer body instead of 32 — the unrolled
     # 7B beam program OOMs the AOT compiler's HBM accounting; scan is also
@@ -236,7 +255,11 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
                           + (" + int8 KV cache" if kv_quant else ""),
                  "weight_gb": round(weight_gb, 2),
                  "prompt": prompt, "new_tokens": new, "per_batch": {}}
-    # per cached token per layer: K+V payload bytes + per-head f32 scales
+    # SPLIT KV cache (models/llama.py _split_attention): per cached token
+    # per layer, K+V payload bytes + per-head f32 scales when int8. The
+    # prompt part is stored per CLIP (beams share it); the generated part
+    # per (clip, beam) row — memory AND per-step attention reads scale
+    # with C*P + C*B*G instead of C*B*(P+G).
     kv_token_bytes = 2 * cfg.hidden_size * (
         1 if kv_quant == "int8" else 2) + (
         2 * cfg.num_heads * 4 if kv_quant == "int8" else 0)
@@ -245,9 +268,10 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
         # compiled executable; later batch sizes pin the concrete formats
         gen = (compiled1 if C == batches[0] else
                jax.jit(gen_fn, in_shardings=(param_formats, None, None)))
-        kv_gb = (cfg.num_layers * (C * 4) * (prompt + new)
-                 * kv_token_bytes) / 1e9
-        if weight_gb + kv_gb > 15.5:  # v5e HBM is 16 GB; leave headroom
+        prompt_gb = cfg.num_layers * C * prompt * kv_token_bytes / 1e9
+        gen_gb = cfg.num_layers * (C * 4) * new * kv_token_bytes / 1e9
+        kv_gb = prompt_gb + gen_gb
+        if weight_gb + kv_gb > 15.0:  # v5e HBM is 16 GB; leave headroom
             # a capacity limit is a RESULT, not an error: record why the
             # row is absent instead of attempting a compile whose OOM
             # surfaces as an opaque remote-compile INTERNAL fault
@@ -275,12 +299,23 @@ def bench_feat4(batches=(1, 2, 4, 8), prompt: int = 128, new: int = 48,
                 jax.profiler.stop_trace()
             steps = int(np.asarray(o["n_steps"]).max())
             tps = reps * C * steps / dt
+            # bytes-modeled decode roofline (VERDICT r4 item 4): every step
+            # streams the full weights, reads the prompt cache once per
+            # CLIP and the gen cache once per ROW, and the beam-ancestry
+            # reorder moves the gen part twice (gather read + write).
+            # Activations/logits (~40 MB at C=32) are omitted — the model
+            # is a floor, so tps/bound is an upper bound on utilization.
+            step_gb = weight_gb + prompt_gb + 3 * gen_gb
+            bound_tps = C / (step_gb / PEAK_HBM_GBPS)
             out["per_batch"][str(C)] = {
                 "clip_tokens_per_sec": round(tps, 2),
                 "steps": steps, "sec_per_call": round(dt / reps, 3),
                 "kv_cache_gb": round(kv_gb, 2),
                 # decode streams the full weight set per step
                 "weight_stream_gbps": round(weight_gb * steps * reps / dt, 1),
+                "modeled_step_gb": round(step_gb, 2),
+                "stream_bound_clip_tokens_per_sec": round(bound_tps, 1),
+                "pct_of_stream_bound": round(100 * tps / bound_tps, 1),
             }
         try:
             try:
@@ -356,7 +391,7 @@ def main(argv=None):
         # next-largest stream — int8 KV halves it. (This matrix is what
         # retired int4: 144.7 clip-tok/s at batch 8 with int8 KV vs 212.2
         # for int8 weights — VERDICT r3 item 3.)
-        for weights, batches in (("w8a8", (4, 8)), ("int8", (4, 8))):
+        for weights, batches in (("w8a8", (4, 8, 16, 32)), ("int8", (4, 8, 16, 32))):
             key = f"feat4_{weights}_kv8"
             blob[key] = bench_feat4(batches=batches, quant=weights,
                                     kv_quant="int8")

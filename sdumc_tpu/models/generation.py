@@ -20,9 +20,17 @@ single-clip while_loop instead — vmap rewrites the loop to "run while any
 element's cond holds" and re-SELECTs every state leaf per step, including
 the multi-GB KV caches (read old + read new + write = 3x cache bytes of
 pure overhead per decode step at 7B). Here the caches free-run for done
-clips (their outputs are frozen, so the garbage is never consumed) and the
-beam-ancestry reorder is a single fused gather. Per-clip results are
-bit-identical to solo runs (test_generation.py)."""
+clips (their outputs are frozen, so the garbage is never consumed).
+
+The KV cache is SPLIT (models/llama.py _split_attention): a per-clip
+prompt part [C, P] that every beam reads shared (never copied, never
+reordered) and a per-beam generated part [C*B, max_new]. The beam-ancestry
+reorder gathers ONLY the generated part, and beam-candidate selection runs
+exact_topk (argmax sweeps) instead of sort-based lax.top_k — together
+these removed ~2/3 of the per-step decode time measured in round 4
+(profiles/decode_ops.md: top_k ~9 ms + full-cache reorder ~15 ms of a
+~37 ms step at 7B gen_batch=8). Per-clip results are bit-identical to
+solo runs (test_generation.py)."""
 
 from __future__ import annotations
 
@@ -31,9 +39,35 @@ from typing import Callable, NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from sdumc_tpu.models.llama import LlamaConfig, cache_mask, init_cache
+from sdumc_tpu.models.llama import (LlamaConfig, cache_mask, init_cache,
+                                    split_cache_from_prefill)
 
 NEG = -1e9
+
+
+def exact_topk(x: jnp.ndarray, k: int):
+    """Exact top-k over the last axis via k argmax sweeps.
+
+    ``lax.top_k`` lowers to a sort-based partial sort on TPU — the decode
+    profile (profiles/decode_ops.md) showed the two per-step top_k calls
+    over [C, B*V≈131k] costing ~9 ms/step (pad_maximum + mini-gather ops)
+    in a ~37 ms step. For small k (2*num_beams = 8 here) k bandwidth-bound
+    argmax+mask sweeps over the same rows are ~100x cheaper. Tie-breaking
+    is identical to lax.top_k (equal values ordered by ascending index:
+    argmax returns the first maximum). Returns (values, indices), both
+    [..., k], values descending."""
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+
+    def one(carry, _):
+        idx = jnp.argmax(carry, axis=-1)
+        val = jnp.take_along_axis(carry, idx[..., None], axis=-1)[..., 0]
+        nxt = jnp.where(
+            jax.nn.one_hot(idx, carry.shape[-1], dtype=bool), neg, carry)
+        return nxt, (val, idx)
+
+    _, (vals, idxs) = jax.lax.scan(one, x, None, length=k)
+    perm = tuple(range(1, x.ndim)) + (0,)
+    return jnp.transpose(vals, perm), jnp.transpose(idxs, perm)
 
 
 class BeamState(NamedTuple):
@@ -41,7 +75,7 @@ class BeamState(NamedTuple):
     last_tokens: jnp.ndarray     # [C, B] next forward input
     beam_scores: jnp.ndarray     # [C, B] running sum-logprobs
     tokens: jnp.ndarray          # [C, B, max_new] generated tokens per beam
-    caches: Tuple                # per-layer KV caches, C*B rows
+    caches: Tuple                # split KV cache: prompt [C] + gen [C*B]
     taps: jnp.ndarray            # [C, max_new, D] hidden taps of leading beam
     hyp_scores: jnp.ndarray      # [C, B] finished-hypothesis scores (len-pen)
     hyp_tokens: jnp.ndarray      # [C, B, max_new]
@@ -49,29 +83,18 @@ class BeamState(NamedTuple):
     done: jnp.ndarray            # [C] bool
 
 
-def _broadcast_caches(caches, B):
-    """Replicate per-clip prefill caches across the beam axis: row c of the
-    C-stream prefill becomes rows c*B..c*B+B-1 (all beams share the prompt,
-    so prefilling once per clip and broadcasting is compute- and
-    memory-cheaper than prefilling C*B identical streams)."""
-    if isinstance(caches, dict):  # stacked scan-layers layout [L, C, ...]
-        return {k: v if k == "index" else jnp.repeat(v, B, axis=1)
-                for k, v in caches.items()}
-    return tuple(
-        {k: v if k == "index" else jnp.repeat(v, B, axis=0)
-         for k, v in c.items()}
-        for c in caches
-    )
-
-
 def _gather_caches(caches, rows):
-    """Beam-ancestry reorder: rows is the flat [C*B] row index (clip-major)."""
+    """Beam-ancestry reorder on a SPLIT cache: only the per-beam GENERATED
+    part moves (``g*`` keys). The prompt part is identical across a clip's
+    beams by construction and the row map never crosses clips, so gathering
+    it would be a multi-GB no-op — the old monolithic layout paid exactly
+    that every step (~3 GB/step read+write at 7B int8-KV gen_batch=8)."""
     if isinstance(caches, dict):
         # stacked scan-layers layout: [num_layers, C*B, ...]
-        return {k: v if k == "index" else v[:, rows]
+        return {k: v[:, rows] if k.startswith("g") else v
                 for k, v in caches.items()}
     return tuple(
-        {k: v if k == "index" else v[rows] for k, v in c.items()}
+        {k: v[rows] if k.startswith("g") else v for k, v in c.items()}
         for c in caches
     )
 
@@ -135,26 +158,27 @@ def beam_generate_batched(
     """
     B = num_beams
     C, P, D = prompt_embeds.shape
-    max_len = P + max_new_tokens
     lp = length_penalty
     prompt_len = jnp.broadcast_to(jnp.asarray(prompt_len, jnp.int32), (C,))
     offset = P - prompt_len                 # [C] left-pad slots per clip
     cidx = jnp.arange(C)
 
     # ---- prefill (prompt hidden states are not tapped — reference [1:]).
-    # C streams, not C*B: every beam shares its clip's prompt, so the
-    # B-per-clip prefill would compute and store B identical cache sets
-    # (at 7B the extra copies are the difference between fitting one chip
-    # and not).
-    caches = init_cache(cfg, C, max_len)
+    # C streams, not C*B: every beam shares its clip's prompt. The prefill
+    # cache is sized to the PROMPT only and becomes the shared read-only
+    # prompt part of the split decode cache verbatim — no broadcast copy
+    # (the old engine repeat'ed the multi-GB prefill across beams).
+    caches = init_cache(cfg, C, P)
     # RoPE positions: pad slots clamp to 0 (their K/V never enter a key set)
     pos = jnp.maximum(jnp.arange(P)[None] - offset[:, None], 0)     # [C, P]
     slot = jnp.broadcast_to(jnp.arange(P)[None], (C, P))
     out = apply_fn(inputs_embeds=prompt_embeds, positions=pos,
-                   attn_mask=_slot_mask(slot, max_len,
+                   attn_mask=_slot_mask(slot, P,
                                         offset[:, None, None, None]),
                    caches=caches, last_logit_only=True)
-    caches = _broadcast_caches(out["caches"], B)
+    caches = split_cache_from_prefill(cfg, out["caches"], B, max_new_tokens)
+    # static per-clip prompt mask for every decode step: left-pad slots out
+    pmask = jnp.where(jnp.arange(P)[None] >= offset[:, None], 0.0, -1e30)
     logp = jax.nn.log_softmax(out["logits"][:, -1].astype(jnp.float32), axis=-1)
 
     # HF init: only beam 0 counts on the first selection ([C, 1, V] logp
@@ -162,7 +186,7 @@ def beam_generate_batched(
     init_bias = jnp.where(jnp.arange(B) == 0, 0.0, NEG)
     scores0 = logp[:, None, :] + init_bias[None, :, None]           # [C, B, V]
     V = scores0.shape[-1]
-    top_vals, top_idx = jax.lax.top_k(scores0.reshape(C, B * V), B)
+    top_vals, top_idx = exact_topk(scores0.reshape(C, B * V), B)
     # (HF would take 2B and filter EOS; at step 0 min_length=1 allows EOS,
     # but an EOS-only prompt continuation is degenerate — handled below by
     # the same candidate machinery from step 1 on. For step 0 we drop EOS
@@ -191,16 +215,16 @@ def beam_generate_batched(
 
     def body(s: BeamState) -> BeamState:
         live = jnp.logical_not(s.done)                              # [C]
-        # ---- forward one token per (clip, beam) row; cache slot != RoPE
-        # position when the prompt is left-padded to a bucket. Done clips'
-        # rows free-run on frozen step values — their outputs are masked.
+        # ---- forward one token per (clip, beam) row; RoPE position runs
+        # from the real prompt length. Done clips' rows free-run on frozen
+        # step values — their outputs are masked. The split-cache attention
+        # builds its own generated-slot mask from the cache index; only the
+        # static prompt mask is passed.
         rpos = jnp.repeat(prompt_len + s.step - 1, B)[:, None]      # [C*B, 1]
-        rslot = jnp.repeat(P + s.step - 1, B)[:, None]
-        roffset = jnp.repeat(offset, B)[:, None, None, None]
         out = apply_fn(
             inputs_embeds=embed_fn(s.last_tokens.reshape(C * B)[:, None]),
             positions=rpos,
-            attn_mask=_slot_mask(rslot, max_len, roffset),
+            attn_mask=pmask,
             caches=s.caches,
             # running tap SUM in the model (LlamaModel.tap_sum_layers,
             # reference clamp semantics included) — stacking all
@@ -217,7 +241,7 @@ def beam_generate_batched(
             out["logits"][:, -1].astype(jnp.float32), axis=-1
         ).reshape(C, B, V)
         cand = s.beam_scores[:, :, None] + logp                     # [C, B, V]
-        top_vals, top_idx = jax.lax.top_k(cand.reshape(C, B * V), 2 * B)
+        top_vals, top_idx = exact_topk(cand.reshape(C, B * V), 2 * B)
         cand_beam = top_idx // V                                    # [C, 2B]
         cand_tok = (top_idx % V).astype(jnp.int32)
         is_eos = cand_tok == eos_id

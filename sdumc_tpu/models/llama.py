@@ -213,6 +213,90 @@ def _cached_attention(c: LlamaConfig, q, k_new, v_new, k_old, v_old, idx, mask,
     return out
 
 
+def _split_attention(c: LlamaConfig, q, k_new, v_new, pk, pv, gk, gv, gidx,
+                     pmask, pk_scale=None, pv_scale=None,
+                     gk_scale=None, gv_scale=None):
+    """Decode attention over a PROMPT-SHARED + per-beam GENERATED split KV
+    cache (T == 1 only — the beam-decode hot loop).
+
+    The monolithic [rows, P+G] cache forced every stream to scale with
+    rows = C*B: the prompt region was stored AND re-read B times per clip
+    even though all beams of a clip share it bit-for-bit (generation.py
+    prefills once per clip then broadcast-copied), and the beam-ancestry
+    reorder gathered the whole cache although only generated slots can
+    ever differ between beams. Splitting prompt [C, P] / generated
+    [C*B, G] cuts, at 7B beam-4 gen_batch=8 int8-KV: cache memory
+    1.52 -> 0.67 GB, per-step attention reads 1.48 -> 0.67 GB, and the
+    reorder gather 3.0 -> 0.8 GB/step — and the freed HBM is what lets
+    gen_batch=16/32 fit one v5e chip (scripts/bench_extractors.py).
+
+    q/k_new/v_new: [R, 1, (KV-)H, hd] current step (R = C*B rows,
+    clip-major). pk/pv: [C, P, KV, hd] prompt cache; gk/gv: [R, G, KV, hd]
+    generated cache whose slots >= ``gidx`` are stale. pmask: [C, P]
+    additive prompt mask (left-pad slots -> -1e30) — static across steps.
+    *_scale: int8-KV per-slot scales ([C, P, KV] / [R, G, KV]), folded
+    outside the head_dim reductions exactly as in _cached_attention.
+    Returns [R, 1, H, hd].
+    """
+    R = q.shape[0]
+    C, P = pk.shape[0], pk.shape[1]
+    G = gk.shape[1]
+    B = R // C
+    if c.kv_heads != c.num_heads:
+        rep = c.num_heads // c.kv_heads
+        k_new = jnp.repeat(k_new, rep, axis=2)
+        v_new = jnp.repeat(v_new, rep, axis=2)
+        pk = jnp.repeat(pk, rep, axis=2)
+        pv = jnp.repeat(pv, rep, axis=2)
+        gk = jnp.repeat(gk, rep, axis=2)
+        gv = jnp.repeat(gv, rep, axis=2)
+        if pk_scale is not None:
+            pk_scale = jnp.repeat(pk_scale, rep, axis=2)
+            pv_scale = jnp.repeat(pv_scale, rep, axis=2)
+            gk_scale = jnp.repeat(gk_scale, rep, axis=2)
+            gv_scale = jnp.repeat(gv_scale, rep, axis=2)
+    H, hd = c.num_heads, c.head_dim
+    scale = jnp.sqrt(hd).astype(jnp.float32)
+    qf = q[:, 0].astype(jnp.float32)                        # [R, H, hd]
+
+    # ---- prompt scores: group rows by clip so the [C, P, H, hd] prompt
+    # cache streams from HBM ONCE, not once per beam (the whole point of
+    # the split). (c, h) are batch dims of a [B, hd] x [hd, P] dot.
+    qc = qf.reshape(C, B, H, hd)
+    s_p = jnp.einsum("cbhd,cphd->cbhp", qc, pk.astype(jnp.float32))
+    if pk_scale is not None:
+        s_p = s_p * jnp.transpose(pk_scale, (0, 2, 1))[:, None]  # [C,1,H,P]
+    s_p = s_p / scale + pmask[:, None, None, :]             # [C, B, H, P]
+    s_p = s_p.reshape(R, H, P)
+
+    # ---- generated scores: per-row multiply-reduce (VPU) — fuses into the
+    # gk stream, same rationale as _cached_attention's T==1 branch
+    s_g = jnp.sum(qf[:, None] * gk.astype(jnp.float32), axis=-1)  # [R, G, H]
+    if gk_scale is not None:
+        s_g = s_g * gk_scale
+    s_g = jnp.transpose(s_g, (0, 2, 1)) / scale             # [R, H, G]
+    stale = jnp.arange(G)[None, None, :] >= gidx
+    s_g = jnp.where(stale, -1e30, s_g)
+
+    s_self = jnp.sum(qf * k_new[:, 0].astype(jnp.float32), axis=-1)
+    s_self = s_self[:, :, None] / scale                     # [R, H, 1]
+
+    probs = jax.nn.softmax(
+        jnp.concatenate([s_p, s_g, s_self], axis=-1), axis=-1)
+
+    pp = probs[..., :P].reshape(C, B, H, P)
+    if pv_scale is not None:
+        pp = pp * jnp.transpose(pv_scale, (0, 2, 1))[:, None]
+    out = jnp.einsum("cbhp,cphd->cbhd", pp,
+                     pv.astype(jnp.float32)).reshape(R, H, hd)
+    pg = jnp.transpose(probs[..., P:P + G], (0, 2, 1))      # [R, G, H]
+    if gv_scale is not None:
+        pg = pg * gv_scale
+    out = out + jnp.sum(pg[..., None] * gv.astype(jnp.float32), axis=1)
+    out = out + probs[..., P + G:] * v_new[:, 0].astype(jnp.float32)
+    return out.astype(c.dtype)[:, None]                     # [R, 1, H, hd]
+
+
 def _dense(features, name, dtype, quant=None):
     if quant in ("int8", "w8a8"):
         from sdumc_tpu.ops.quant import QuantDense
@@ -249,6 +333,58 @@ class LlamaAttention(nn.Module):
         q = rope(q, positions, c.rope_theta)
         k = rope(k, positions, c.rope_theta)
 
+        if cache is not None and "pk" in cache and layer_idx is not None:
+            # stacked scan trunk over a SPLIT cache (see _split_attention):
+            # pure reads here; the (k, v) chunk rides out of the scan and
+            # LlamaModel writes it into the GEN cache only
+            gidx = cache["index"][layer_idx]
+            layer_of = lambda key: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                cache[key], layer_idx, 0, keepdims=False)
+            out = _split_attention(
+                c, q, k, v, layer_of("pk"), layer_of("pv"),
+                layer_of("gk"), layer_of("gv"), gidx, mask,
+                layer_of("pk_scale") if "pk_scale" in cache else None,
+                layer_of("pv_scale") if "pv_scale" in cache else None,
+                layer_of("gk_scale") if "gk_scale" in cache else None,
+                layer_of("gv_scale") if "gv_scale" in cache else None)
+            out = out.reshape(B, T, c.num_heads * c.head_dim)
+            return (_dense(c.hidden_size, "o_proj", c.dtype, c.quant)(out),
+                    (k, v))
+        if cache is not None and "pk" in cache:
+            # unrolled per-layer split cache: attend, then append the chunk
+            # into the gen cache (the prompt part is never written)
+            gidx = cache["index"]
+            out = _split_attention(
+                c, q, k, v, cache["pk"], cache["pv"],
+                cache["gk"], cache["gv"], gidx, mask,
+                cache.get("pk_scale"), cache.get("pv_scale"),
+                cache.get("gk_scale"), cache.get("gv_scale"))
+            new_cache = dict(cache)
+            if "gk_scale" in cache:
+                k_w, k_s = quantize_kv(k)
+                v_w, v_s = quantize_kv(v)
+                new_cache.update(
+                    gk=jax.lax.dynamic_update_slice(
+                        cache["gk"], k_w, (0, gidx, 0, 0)),
+                    gv=jax.lax.dynamic_update_slice(
+                        cache["gv"], v_w, (0, gidx, 0, 0)),
+                    gk_scale=jax.lax.dynamic_update_slice(
+                        cache["gk_scale"], k_s, (0, gidx, 0)),
+                    gv_scale=jax.lax.dynamic_update_slice(
+                        cache["gv_scale"], v_s, (0, gidx, 0)),
+                    index=gidx + T)
+            else:
+                new_cache.update(
+                    gk=jax.lax.dynamic_update_slice(
+                        cache["gk"], k.astype(cache["gk"].dtype),
+                        (0, gidx, 0, 0)),
+                    gv=jax.lax.dynamic_update_slice(
+                        cache["gv"], v.astype(cache["gv"].dtype),
+                        (0, gidx, 0, 0)),
+                    index=gidx + T)
+            out = out.reshape(B, T, c.num_heads * c.head_dim)
+            return (_dense(c.hidden_size, "o_proj", c.dtype, c.quant)(out),
+                    new_cache)
         if cache is not None and cache["k"].ndim == 5:
             # Stacked scan trunk: the cache stack is READ-ONLY here. The
             # old design updated the scan-carried stack and read it back
@@ -451,7 +587,35 @@ class LlamaModel(nn.Module):
             hs_stack, kv_stack = ys
             if output_hidden_states:
                 hidden_states += [hs_stack[i] for i in range(c.num_layers)]
-            if caches is not None:
+            if caches is not None and "pk" in caches:
+                # split cache: append the [L, R, T, KV, hd] chunk slab into
+                # the GEN cache only; the prompt part rides through untouched
+                # (a pure carry read — XLA never copies it)
+                k_new, v_new = kv_stack
+                idx = caches["index"][0]
+                if "gk_scale" in caches:
+                    k_new, k_s = quantize_kv(k_new)
+                    v_new, v_s = quantize_kv(v_new)
+                    extra = {
+                        "gk_scale": jax.lax.dynamic_update_slice(
+                            caches["gk_scale"], k_s, (0, 0, idx, 0)),
+                        "gv_scale": jax.lax.dynamic_update_slice(
+                            caches["gv_scale"], v_s, (0, 0, idx, 0)),
+                    }
+                else:
+                    extra = {}
+                new_caches = {
+                    **caches,
+                    "gk": jax.lax.dynamic_update_slice(
+                        caches["gk"], k_new.astype(caches["gk"].dtype),
+                        (0, 0, idx, 0, 0)),
+                    "gv": jax.lax.dynamic_update_slice(
+                        caches["gv"], v_new.astype(caches["gv"].dtype),
+                        (0, 0, idx, 0, 0)),
+                    "index": caches["index"] + T,
+                    **extra,
+                }
+            elif caches is not None:
                 k_new, v_new = kv_stack        # [L, B, T, KV, hd] each
                 idx = caches["index"][0]       # layers always advance together
                 if "k_scale" in caches:
@@ -571,6 +735,51 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
         return cache
 
     return tuple(one() for _ in range(cfg.num_layers))
+
+
+def split_cache_from_prefill(cfg: LlamaConfig, prefill_caches, beams: int,
+                             gen_max: int):
+    """Build the beam-decode SPLIT cache (see _split_attention) from a
+    finished per-clip prefill: the prefill's [.., C, P, ..] buffers become
+    the shared read-only prompt part verbatim (every beam of a clip shares
+    its prompt bit-for-bit, so no per-beam copy is ever made — the old
+    engine jnp.repeat'ed the full multi-GB prefill across beams), and a
+    fresh [.., C*beams, gen_max, ..] generated part is allocated with its
+    own write index starting at 0."""
+    quant = cfg.kv_quant == "int8"
+    dtype = jnp.int8 if quant else cfg.dtype
+
+    def gen_part(C, scalar_index):
+        R = C * beams
+        g = {
+            "gk": jnp.zeros((R, gen_max, cfg.kv_heads, cfg.head_dim), dtype),
+            "gv": jnp.zeros((R, gen_max, cfg.kv_heads, cfg.head_dim), dtype),
+        }
+        if quant:
+            g["gk_scale"] = jnp.zeros((R, gen_max, cfg.kv_heads), jnp.float32)
+            g["gv_scale"] = jnp.zeros((R, gen_max, cfg.kv_heads), jnp.float32)
+        return g
+
+    if isinstance(prefill_caches, dict):   # stacked scan layout [L, C, ...]
+        L, C = prefill_caches["k"].shape[:2]
+        g = jax.tree_util.tree_map(
+            lambda z: jnp.broadcast_to(z, (L,) + z.shape), gen_part(C, None))
+        out = {"pk": prefill_caches["k"], "pv": prefill_caches["v"],
+               "index": jnp.zeros((L,), jnp.int32), **g}
+        if quant:
+            out["pk_scale"] = prefill_caches["k_scale"]
+            out["pv_scale"] = prefill_caches["v_scale"]
+        return out
+    out = []
+    for c in prefill_caches:               # unrolled: tuple of per-layer
+        C = c["k"].shape[0]
+        layer = {"pk": c["k"], "pv": c["v"], "index": jnp.int32(0),
+                 **gen_part(C, 0)}
+        if quant:
+            layer["pk_scale"] = c["k_scale"]
+            layer["pv_scale"] = c["v_scale"]
+        out.append(layer)
+    return tuple(out)
 
 
 def cache_mask(query_positions, max_len):
