@@ -73,16 +73,33 @@ _STAGED = {}
 def stage_device_batches(feature_dtype: str = "float32"):
     """device_put the synthetic batches once per dtype and memoize: over
     the dev tunnel h2d runs ~10 MB/s, so re-staging per bench function
-    would dominate wall time without changing any measurement."""
+    would dominate wall time without changing any measurement.
+
+    feature_dtype="int8" stages the PACKED INT8 STORE's batches (codes +
+    per-clip per-channel scales, dequantized on device inside the step) —
+    the production input path whose host producer runs at half the bf16
+    store's bytes."""
     import jax
 
     from sdumc_tpu.train.step import batch_to_device_dict
 
     if feature_dtype not in _STAGED:
-        staged = [
-            jax.device_put(batch_to_device_dict(b, feature_dtype=feature_dtype))
-            for b in _batches()
-        ]
+        if feature_dtype == "int8":
+            from sdumc_tpu.data.pipeline import BatchIterator
+
+            feat_root, names = _host_feat_root()
+            ds = _packed_dataset(feat_root, names, "int8")
+            it = BatchIterator(ds, BATCH_SIZE, shuffle=False,
+                               buckets=BUCKETS, prefetch=0)
+            staged = [
+                jax.device_put(batch_to_device_dict(b, feature_dtype="bfloat16"))
+                for b in it
+            ]
+        else:
+            staged = [
+                jax.device_put(batch_to_device_dict(b, feature_dtype=feature_dtype))
+                for b in _batches()
+            ]
         np.asarray(staged[-1]["vals"])  # force residency
         _STAGED[feature_dtype] = staged
     return _STAGED[feature_dtype]
@@ -225,7 +242,7 @@ def _host_feat_root() -> tuple:
 
     feat_root = "/tmp/sdumc_bench_feats"
     names = [f"clip_{b}_{i}" for b in range(N_BATCHES) for i in range(BATCH_SIZE)]
-    marker = os.path.join(feat_root, ".complete_v3")
+    marker = os.path.join(feat_root, ".complete_v4")
     if not os.path.exists(marker):
         shutil.rmtree(feat_root, ignore_errors=True)
         for key, (d, lo, hi) in REGIMES.items():
@@ -238,6 +255,9 @@ def _host_feat_root() -> tuple:
             pack_features(os.path.join(feat_root, key),
                           os.path.join(feat_root, key) + "_bf16",
                           dtype="bfloat16")
+            pack_features(os.path.join(feat_root, key),
+                          os.path.join(feat_root, key) + "_int8",
+                          dtype="int8")
         open(marker, "w").close()
     return feat_root, names
 
@@ -264,7 +284,7 @@ def _packed_dataset(feat_root, names, dtype: str):
     from sdumc_tpu.data.packed import PackedSource
     from sdumc_tpu.data.pipeline import MoseiDataset
 
-    suffix = "_bf16" if dtype == "bfloat16" else ""
+    suffix = {"bfloat16": "_bf16", "int8": "_int8"}.get(dtype, "")
     sources = {k: PackedSource(os.path.join(feat_root, k) + suffix, k)
                for k in REGIMES}
     labels = [{"emo": 0.0, "val": 0.0} for _ in names]
@@ -322,27 +342,49 @@ def bench_host_pipeline(packed: bool = False, dtype: str = "float32",
     cps = TIMED_EPOCHS * N_CLIPS / dt
     if not want_gbps:
         return cps
-    esize = 2 if dtype == "bfloat16" else 4
+    esize = {"bfloat16": 2, "int8": 1}.get(dtype, 4)
     payload = sum(
         src.length_of(n) * src.dim * esize
         for src in ds.sources.values() for n in names)
+    if dtype == "int8":
+        # the per-clip per-channel scale sidecar rides along: one read +
+        # one write of [B, dim] f32 per modality per batch (~3% of payload)
+        payload += sum(src.dim * 4 for src in ds.sources.values()) * len(names)
     return cps, TIMED_EPOCHS * 2 * payload / dt / 1e9
 
 
-def bench_e2e_overlapped():
+def _h2d_gbps_probe() -> float:
+    """Measured host->device bandwidth on one 64 MB transfer (decides the
+    e2e loop mode: a colocated TPU host DMAs GB/s; the dev tunnel ~10 MB/s)."""
+    import jax
+
+    x = np.ones((64 << 20,), np.uint8)
+    jax.device_put(x[: 1 << 20]).block_until_ready()  # path warmup
+    t0 = time.perf_counter()
+    jax.device_put(x).block_until_ready()
+    return x.nbytes / (time.perf_counter() - t0) / 1e9
+
+
+def bench_e2e_overlapped(store_dtype: str = "int8", mode: str = "auto"):
     """MEASURED overlapped producer/consumer end-to-end rate (not a
     min(host, device) model): a producer thread runs the production host
-    pipeline (bf16 packed store, ring buffers) while the consumer dispatches
-    the jitted dual-view train step for every produced batch; one device
-    sync at the end. Wall-clock covers both legs concurrently, so the
-    result reflects real overlap (including GIL/dispatch interference on
-    this 1-core host).
+    pipeline (int8 packed store + on-device dequant by default — half the
+    bf16 store's host bytes) while the consumer runs the jitted dual-view
+    train step; one device sync at the end. Wall-clock covers both legs
+    concurrently, so the result reflects real overlap (including
+    GIL/dispatch interference on this 1-core host).
 
-    The h2d transfer leg uses pre-staged device batches because this bench
-    host reaches the chip over a dev tunnel (~10 MB/s measured; a colocated
-    TPU host DMAs >10 GB/s, where the 128-clip bf16 batch is ~335 MB ->
-    ~30 ms, fully overlappable at these rates). The produced host batches
-    are identical in shape/dtype to the staged ones."""
+    Loop modes (VERDICT r4 item 6):
+      "true"   — the consumer device_puts EVERY PRODUCED batch and steps
+                 on it: the full closed loop including the h2d leg.
+      "staged" — the device leg dispatches epoch programs over pre-staged
+                 device copies of the same batches; h2d is excluded. This
+                 is the only honest option over a dev tunnel (~10 MB/s
+                 h2d: one 168 MB int8 batch would take ~17 s).
+      "auto"   — probe h2d bandwidth; pick "true" when a colocated-host
+                 rate (>= 1 GB/s) is available, else "staged".
+    Returns (clips_per_sec, mode_string) where mode_string records which
+    loop ran and the probed h2d rate."""
     import queue as queue_mod
     import threading
 
@@ -352,28 +394,34 @@ def bench_e2e_overlapped():
     from sdumc_tpu.core.config import ExperimentConfig
     from sdumc_tpu.data.pipeline import BatchIterator
     from sdumc_tpu.train.state import create_train_state
-    from sdumc_tpu.train.step import make_train_step
+    from sdumc_tpu.train.step import batch_to_device_dict, make_train_step
+
+    h2d = _h2d_gbps_probe()
+    if mode == "auto":
+        mode = "true" if h2d >= 1.0 else "staged"
+    mode_str = f"{mode} (h2d probe {h2d * 1e3:.0f} MB/s)"
 
     feat_root, names = _host_feat_root()
-    ds = _packed_dataset(feat_root, names, "bfloat16")
+    ds = _packed_dataset(feat_root, names, store_dtype)
+    # ring buffers only in staged mode: the true loop's async device_put
+    # may still be reading a batch's host memory when a ring slot would be
+    # overwritten (device_put returns before the DMA drains)
     it = BatchIterator(ds, BATCH_SIZE, shuffle=False, buckets=BUCKETS,
-                       prefetch=1, reuse_buffers=3)
+                       prefetch=1,
+                       reuse_buffers=0 if mode == "true" else 3)
 
     model, params = build_model_and_params(ExperimentConfig(), DIMS)
     state = create_train_state(model, jax.device_put(params), lambda s: 1e-4,
                                l2=1e-5)
     step = make_train_step(model, ExperimentConfig().loss)
     rng = jax.random.key(0, impl="rbg")  # production rng (TrainConfig.rng_impl)
-    device_batches = stage_device_batches("bfloat16")
 
-    # one jitted program per epoch, same as bench_train: a dispatch RPC
-    # over the dev tunnel costs 11-35 ms of HOST time (it also starves the
-    # producer thread through the GIL), so dispatch-per-batch measured the
-    # tunnel+GIL interference, not the pipeline — 1.1k clips/s against a
-    # 5.2k producer and an 11.6k consumer. Epoch-granularity dispatch is
-    # also what the production loop does (async dispatch runs ahead of
-    # the host): the device leg consumes one epoch of produced batches
-    # per dispatch.
+    # one jitted program per epoch for the staged mode, same as bench_train:
+    # a dispatch RPC over the dev tunnel costs 11-35 ms of HOST time (it
+    # also starves the producer thread through the GIL), so dispatch-per-
+    # batch measured the tunnel+GIL interference, not the pipeline.
+    # Epoch-granularity dispatch is also what the production loop does
+    # (async dispatch runs ahead of the host).
     @jax.jit
     def epoch_fn(state, batches):
         metrics = None
@@ -381,6 +429,38 @@ def bench_e2e_overlapped():
             state, metrics = step(state, d, rng)
         return state, metrics
 
+    fd = "bfloat16"  # device consumes bf16 (int8 stores dequant on device)
+    if mode == "true":
+        # compile the per-batch step via one warmup pass over real batches
+        for b in it:
+            d = jax.device_put(batch_to_device_dict(b, feature_dtype=fd))
+            state, m = step(state, d, rng)
+        float(jax.device_get(m["loss"]))
+
+        def producer(q):
+            for _ in range(TIMED_EPOCHS):
+                for b in it:
+                    q.put(b)
+            q.put(None)
+
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+        t = threading.Thread(target=producer, args=(q,), daemon=True)
+        t0 = time.perf_counter()
+        t.start()
+        n, metrics = 0, None
+        while True:
+            b = q.get()
+            if b is None:
+                break
+            d = jax.device_put(batch_to_device_dict(b, feature_dtype=fd))
+            state, metrics = step(state, d, rng)
+            n += b.size
+        float(jax.device_get(metrics["loss"]))  # device drain barrier
+        dt = time.perf_counter() - t0
+        assert n == TIMED_EPOCHS * N_CLIPS
+        return n / dt, mode_str
+
+    device_batches = stage_device_batches(store_dtype)
     batches = tuple(device_batches)
     state, m = epoch_fn(state, batches)  # compile + warm pipeline/ring
     for _ in it:
@@ -409,7 +489,7 @@ def bench_e2e_overlapped():
     float(jax.device_get(metrics["loss"]))  # device drain barrier
     dt = time.perf_counter() - t0
     assert n == TIMED_EPOCHS * N_CLIPS
-    return n / dt
+    return n / dt, mode_str
 
 
 def bench_torch_reference() -> float:
@@ -532,8 +612,8 @@ def main():
         # cache-hit and finish in ~2 min
         r = subprocess.run(
             [sys.executable, "-c",
-             "import sys; sys.path.insert(0, %r); import bench; "
-             "print('E2E', bench.bench_e2e_overlapped())" % REPO],
+             "import sys, json; sys.path.insert(0, %r); import bench; "
+             "print('E2E', json.dumps(bench.bench_e2e_overlapped()))" % REPO],
             capture_output=True, text=True, timeout=2700)
         e2e_lines = [ln for ln in r.stdout.splitlines()
                      if ln.startswith("E2E ")]
@@ -541,8 +621,8 @@ def main():
         e2e_lines = []
     # in-process fallback UNDERSTATES the pipeline (see comment above) —
     # better a conservative measured number than none
-    e2e_cps = (float(e2e_lines[-1].split()[1]) if e2e_lines
-               else bench_e2e_overlapped())
+    e2e_cps, e2e_mode = (json.loads(e2e_lines[-1][4:]) if e2e_lines
+                         else bench_e2e_overlapped())
     # bf16 features are the benchmarked production default (f32 kept for the
     # checkpoint-exact parity path); rooflines are reported for BOTH so the
     # headline number has its own MFU/HBM attribution (VERDICT r2 item 4)
@@ -551,10 +631,14 @@ def main():
     train_f32_cps, train_rl_f32 = bench_train(want_roofline=True)
     train_cps, train_rl = bench_train(feature_dtype="bfloat16",
                                       want_roofline=True)
+    # the production int8-store consumer: same step + on-device dequant
+    train_int8_cps = bench_train(feature_dtype="int8")
     host_cps = bench_host_pipeline()
     host_packed_cps = bench_host_pipeline(packed=True)
     host_bf16_cps, host_bf16_gbps = bench_host_pipeline(
         packed=True, dtype="bfloat16", want_gbps=True)
+    host_int8_cps, host_int8_gbps = bench_host_pipeline(
+        packed=True, dtype="int8", want_gbps=True)
     memcpy_bound = _host_memcpy_gbps()
     base = baseline.get("clips_per_sec") or float("nan")
     vs = ours / base if np.isfinite(base) and base > 0 else None
@@ -569,25 +653,36 @@ def main():
         "f32_features_clips_per_sec": round(ours_f32, 2),
         "train_clips_per_sec": round(train_cps, 2),
         "train_f32_features_clips_per_sec": round(train_f32_cps, 2),
+        # the production consumer: int8 store codes + scales staged, the
+        # step dequantizes on device — the rate the e2e producer feeds
+        "train_int8_store_clips_per_sec": round(train_int8_cps, 2),
         # host producer rates: .npy dir (reference layout), f32 packed blob,
-        # and the production bf16 packed blob (single-touch mmap fill + ring
-        # buffers — bf16 halves the bytes and the device consumes bf16)
+        # the bf16 packed blob, and the production int8 packed blob
+        # (codes + per-clip per-channel scales; the 1-core producer is
+        # memory-bandwidth-bound, so byte width -> clips/s one-for-one)
         "host_pipeline_clips_per_sec": round(host_cps, 2),
         "host_pipeline_packed_clips_per_sec": round(host_packed_cps, 2),
         "host_pipeline_packed_bf16_clips_per_sec": round(host_bf16_cps, 2),
+        "host_pipeline_packed_int8_clips_per_sec": round(host_int8_cps, 2),
         # bound proof: achieved host memory traffic (payload read + payload
         # write — the two irreducible touches) vs this host's measured
         # single-core streaming-copy bound. The producer is pure
         # memcpy/memset; there is no disk leg (page cache) on this host.
-        "host_gbps": round(host_bf16_gbps, 2),
+        "host_gbps": round(host_int8_gbps, 2),
         "host_memcpy_bound_gbps": round(memcpy_bound, 2),
         "host_pct_of_memcpy_bound": round(
-            100 * host_bf16_gbps / memcpy_bound, 1),
+            100 * host_int8_gbps / memcpy_bound, 1),
+        "host_bf16_gbps": round(host_bf16_gbps, 2),
         # MEASURED overlapped producer/consumer run (bench_e2e_overlapped):
-        # producer thread makes every host batch while the consumer
-        # dispatches the train step per produced batch; NOT a min() model.
+        # producer thread makes every host batch while the consumer runs
+        # the train step; NOT a min() model. e2e_mode records which loop
+        # ran ("true" = produced batches device_put + stepped; "staged" =
+        # epoch programs over pre-staged device copies, h2d excluded —
+        # the only honest option over the ~10 MB/s dev tunnel).
         "e2e_clips_per_sec": round(e2e_cps, 2),
+        "e2e_mode": e2e_mode,
         "e2e_vs_train_pct": round(100 * e2e_cps / train_cps, 1),
+        "e2e_vs_int8_train_pct": round(100 * e2e_cps / train_int8_cps, 1),
         # roofline: XLA cost analysis over every timed program call (see
         # sdumc_tpu/utils/roofline.py; peaks = public v5e specs). The
         # unsuffixed rooflines attribute the headline bf16 numbers; the

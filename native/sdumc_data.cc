@@ -530,7 +530,7 @@ int sdumc_fill_batch_packed(const char* bin_path, const int64_t* offs,
 }
 
 // Single-touch mmap packed fill (v3 fast path; supersedes the fread-based
-// sdumc_fill_batch_packed for the hot producer). dtype: 0 = float32,
+// sdumc_fill_batch_packed for the hot producer). dtype: 0 = float32, 2 = int8,
 // 1 = bfloat16 — blob payload and dst share it. offs are in ELEMENTS.
 // Every dst byte is written at most once (payload memcpy or pad memset).
 //
@@ -546,7 +546,7 @@ int sdumc_fill_batch_packed2(const char* bin_path, const int64_t* offs,
                              int64_t batch, int64_t bucket, int64_t dim,
                              void* dst, int64_t* lengths, int dtype,
                              const int64_t* prev_rows) {
-  const size_t esize = dtype == 1 ? 2 : 4;
+  const size_t esize = dtype == 1 ? 2 : (dtype == 2 ? 1 : 4);
   Mapping m = map_blob(bin_path);
   if (!m.ptr) return -1;
   // bounds check up front so worker tasks can't fault on a bad index
@@ -563,6 +563,14 @@ int sdumc_fill_batch_packed2(const char* bin_path, const int64_t* offs,
       fill_clip<uint16_t>(
           reinterpret_cast<const uint16_t*>(m.ptr) + offs[b], rows[b],
           cols[b], static_cast<uint16_t*>(dst) + b * bucket * dim, bucket,
+          dim, zero_upto);
+    } else if (dtype == 2) {
+      // int8 payload (quantized feature store): the generic template's
+      // copy path is a straight memcpy; the mean-pool path accumulates
+      // f32 codes and truncates back (numpy .astype(int8) matches)
+      fill_clip<int8_t>(
+          reinterpret_cast<const int8_t*>(m.ptr) + offs[b], rows[b],
+          cols[b], static_cast<int8_t*>(dst) + b * bucket * dim, bucket,
           dim, zero_upto);
     } else {
       fill_clip<float>(reinterpret_cast<const float*>(m.ptr) + offs[b],

@@ -72,6 +72,10 @@ class Batch:
     emos: np.ndarray     # [B]
     vals: np.ndarray     # [B]
     names: List[str]
+    # int8 feature store only: {"audio": [B, Da] f32, ...} per-clip
+    # per-channel dequant scales; the arrays above then hold int8 codes and
+    # the jitted step dequantizes on device (train/step.py dequant_features)
+    scales: dict | None = None
 
     @property
     def size(self) -> int:

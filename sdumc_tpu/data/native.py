@@ -109,6 +109,8 @@ def fill_batch_packed(bin_path: str, entries: List[Tuple[int, int, int]],
         import ml_dtypes
 
         np_dtype, dt_code = np.dtype(ml_dtypes.bfloat16), 1
+    elif dtype == "int8":
+        np_dtype, dt_code = np.dtype(np.int8), 2
     else:
         np_dtype, dt_code = np.dtype(np.float32), 0
     b = len(entries)

@@ -6,13 +6,20 @@ all of a feature type's [T, D] clips concatenated into one blob with a JSON
 index — one file handle, mmap reads, trivially rsync/GCS-friendly for
 multi-host streaming.
 
-Payload dtype is float32 (checkpoint-exact parity path) or bfloat16 (the
-benchmarked production path: the device consumes bf16 features, so a bf16
-blob halves both the disk bytes and the host-side batch-assembly bytes —
-the producer is memory-bandwidth-bound, so that is a direct 2x).
+Payload dtype is float32 (checkpoint-exact parity path), bfloat16 (halves
+the host bytes; the device consumes bf16 features), or int8 (halves them
+AGAIN): the 1-core producer is memory-bandwidth-bound at ~12 GB/s of
+read+write payload touches (bench.py host bound proof), so payload width
+converts to clips/s one-for-one. int8 stores per-clip per-CHANNEL symmetric
+scales in a ``{out}.scales.bin`` sidecar ([cols] f32 per clip, offsets in
+the index); dequantization happens ON DEVICE inside the jitted step
+(train/step.py dequant_features) where HBM runs at 819 GB/s — the host
+never touches a float.
 
-    pack:   {dir}/{clip}.npy ...  ->  {out}.bin + {out}.json
-    read:   PackedSource(out).get(clip) -> np.ndarray [T, D] (zero-copy view)
+    pack:   {dir}/{clip}.npy ...  ->  {out}.bin + {out}.json [+ .scales.bin]
+    read:   PackedSource(out).get(clip) -> np.ndarray [T, D] (zero-copy view
+            for f32/bf16; int8 stores dequantize in get() — use
+            fill_batch_from_packed + scales_for for the raw production path)
 """
 
 from __future__ import annotations
@@ -33,6 +40,16 @@ def _np_dtype(name: str) -> np.dtype:
     return np.dtype(name)
 
 
+def quantize_clip(arr: np.ndarray):
+    """Symmetric per-channel int8: [T, D] f32 -> (int8 [T, D], f32 [D]
+    scales). absmax/127 per channel; all-zero channels get scale 1 so the
+    round-trip stays exact-zero."""
+    amax = np.abs(arr).max(axis=0).astype(np.float32)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(arr / scale[None, :]), -127, 127).astype(np.int8)
+    return q, scale
+
+
 def pack_features(src_dir: str, out_prefix: str, names: Sequence[str] | None = None,
                   dtype: str = "float32") -> str:
     # os.listdir, NOT glob: the live feat4 dir name contains glob
@@ -44,19 +61,34 @@ def pack_features(src_dir: str, out_prefix: str, names: Sequence[str] | None = N
         else sorted(os.path.join(src_dir, f) for f in os.listdir(src_dir)
                     if f.endswith(".npy"))
     )
+    quant = dtype == "int8"
     dt = _np_dtype(dtype)
     index: Dict[str, list] = {}
     offset = 0
+    scale_off = 0
+    scales_f = open(out_prefix + ".scales.bin", "wb") if quant else None
     with open(out_prefix + ".bin", "wb") as blob:
         for path in files:
             arr = np.load(path)
             if arr.ndim == 1:
                 arr = arr[None, :]
-            arr = np.ascontiguousarray(arr.astype(dt))
             clip = os.path.basename(path)[:-4]
-            index[clip] = [offset, int(arr.shape[0]), int(arr.shape[1])]
-            blob.write(arr.tobytes())
-            offset += arr.size
+            if quant:
+                q, scale = quantize_clip(np.asarray(arr, np.float32))
+                # index entry: [offset, rows, cols, scale_offset]
+                index[clip] = [offset, int(q.shape[0]), int(q.shape[1]),
+                               scale_off]
+                blob.write(np.ascontiguousarray(q).tobytes())
+                scales_f.write(scale.tobytes())
+                offset += q.size
+                scale_off += scale.size
+            else:
+                arr = np.ascontiguousarray(arr.astype(dt))
+                index[clip] = [offset, int(arr.shape[0]), int(arr.shape[1])]
+                blob.write(arr.tobytes())
+                offset += arr.size
+    if scales_f is not None:
+        scales_f.close()
     with open(out_prefix + ".json", "w") as f:
         json.dump({"dtype": dtype, "index": index}, f)
     return out_prefix
@@ -75,10 +107,29 @@ class PackedSource:
         self.dtype_name = meta.get("dtype", "float32")
         self._dtype = _np_dtype(self.dtype_name)
         self._blob = np.memmap(prefix + ".bin", dtype=self._dtype, mode="r")
+        self._scales = (np.memmap(prefix + ".scales.bin", dtype=np.float32,
+                                  mode="r")
+                        if self.dtype_name == "int8" else None)
 
     def get(self, clip: str) -> np.ndarray:
-        off, rows, cols = self._index[clip]
+        entry = self._index[clip]
+        off, rows, cols = entry[:3]
+        raw = np.asarray(self._blob[off : off + rows * cols]).reshape(rows, cols)
+        if self._scales is not None:  # generic consumers get dequantized f32
+            return raw.astype(np.float32) * self.scales_for(clip)[None, :]
+        return raw
+
+    def get_raw(self, clip: str) -> np.ndarray:
+        """Payload codes without dequantization (the production fill path)."""
+        off, rows, cols = self._index[clip][:3]
         return np.asarray(self._blob[off : off + rows * cols]).reshape(rows, cols)
+
+    def scales_for(self, clip: str) -> np.ndarray:
+        """[cols] f32 per-channel scales of an int8 store (zero-copy view)."""
+        entry = self._index[clip]
+        off, rows, cols = entry[:3]
+        soff = entry[3]
+        return np.asarray(self._scales[soff : soff + cols])
 
     def length_of(self, clip: str) -> int:
         return self._index[clip][1]
@@ -99,7 +150,7 @@ def fill_batch_from_packed(src: "PackedSource", names, bucket: int,
     pad-or-mean-pool semantics as the .npy path (collate.mapping_feature).
     Output dtype == the store's payload dtype. Returns (batch, lengths)."""
     dim = dim or src.dim
-    entries = [tuple(src._index[n]) for n in names]
+    entries = [tuple(src._index[n][:3]) for n in names]
     try:
         from sdumc_tpu.data import native
 
@@ -114,12 +165,24 @@ def fill_batch_from_packed(src: "PackedSource", names, bucket: int,
     out = np.zeros((len(names), bucket, dim), src._dtype)
     lengths = np.zeros((len(names),), np.int64)
     for i, n in enumerate(names):
-        raw = src.get(n)
+        raw = src.get_raw(n) if src.dtype_name == "int8" else src.get(n)
         if len(raw) > bucket:
-            # pool in f32 (the C++ path accumulates f32 too), cast back
+            # pool in f32 (the C++ path accumulates f32 too), cast back —
+            # for int8 the C cast and numpy astype both truncate toward 0
             feat = mapping_feature(raw.astype(np.float32), bucket).astype(src._dtype)
         else:
             feat = raw
         out[i, : len(feat), : feat.shape[1]] = feat
         lengths[i] = len(feat)
     return out, lengths
+
+
+def batch_scales(src: "PackedSource", names, dim: int | None = None) -> np.ndarray:
+    """[B, dim] f32 per-clip per-channel dequant scales of an int8 store
+    (tiny next to the payload: B x dim floats vs B x bucket x dim codes)."""
+    dim = dim or src.dim
+    out = np.zeros((len(names), dim), np.float32)
+    for i, n in enumerate(names):
+        s = src.scales_for(n)
+        out[i, : len(s)] = s
+    return out

@@ -166,11 +166,12 @@ class BatchIterator:
         the production path: half the host bytes, no device-side cast)."""
         from sdumc_tpu.data import native as native_mod
         from sdumc_tpu.data.collate import bucket_for
-        from sdumc_tpu.data.packed import fill_batch_from_packed
+        from sdumc_tpu.data.packed import batch_scales, fill_batch_from_packed
 
         names = [self.ds.names[int(i)] for i in chunk]
         use_ring = self.reuse_buffers and native_mod.available()
         mats, t_max, lengths = {}, [], []
+        scales = {}
         for key in ("audio", "text", "video", "feat4"):
             src = self.ds.sources[key]
             lens = [src.length_of(n) for n in names]
@@ -178,13 +179,18 @@ class BatchIterator:
             bucket = bucket_for(tm, self.buckets)
             if use_ring:
                 slot = self._ring_slot(key, bucket, len(names), src._dtype)
-                entries = [tuple(src._index[n]) for n in names]
+                entries = [tuple(src._index[n][:3]) for n in names]
                 batch, got = native_mod.fill_batch_packed(
                     src._prefix + ".bin", entries, bucket, src.dim,
                     dtype=src.dtype_name, out=slot[0], prev_lengths=slot[1])
                 slot[1] = got
             else:
                 batch, _ = fill_batch_from_packed(src, names, bucket, src.dim)
+            if src.dtype_name == "int8":
+                # per-clip per-channel dequant scales ride next to the codes
+                # (B x dim floats — ~3% of the int8 payload; dequantization
+                # happens on device at HBM speed, not here at host speed)
+                scales[key] = batch_scales(src, names, src.dim)
             mats[key] = batch
             t_max.append(tm)
             lengths.append(np.minimum(lens, self.buckets[-1]))
@@ -196,6 +202,7 @@ class BatchIterator:
             emos=np.array([l.get("emo", 0.0) for l in labels], np.float32),
             vals=np.array([l.get("val", 0.0) for l in labels], np.float32),
             names=names,
+            scales=scales or None,
         )
 
     def _native_batch(self, chunk) -> Batch:
