@@ -100,6 +100,12 @@ def main(argv=None):
     p.add_argument("--mode", type=str, default="step", choices=["step", "loop"],
                    help="step: one bare train step; loop: full train() epoch "
                         "driver with sharded BatchIterator + eval gather")
+    p.add_argument("--mesh_shape", type=str, default="flat",
+                   choices=["flat", "hier"],
+                   help="flat: 1-D data mesh; hier: 2 x (n/2) DCN x ICI "
+                        "hierarchical mesh (parallel.make_hierarchical_mesh) "
+                        "— batches shard over BOTH axes, exercising the "
+                        "hierarchical all-reduce across real processes")
     args = p.parse_args(argv)
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -132,7 +138,14 @@ def main(argv=None):
     n_global = args.nproc * args.local_devices
     devices = jax.devices()
     assert len(devices) == n_global, (len(devices), n_global)
-    mesh = make_mesh(data_parallel=n_global, model_parallel=1, devices=devices)
+    if args.mesh_shape == "hier":
+        from sdumc_tpu.parallel import make_hierarchical_mesh
+
+        assert n_global % 2 == 0, n_global
+        mesh = make_hierarchical_mesh(2, n_global // 2, devices=devices)
+    else:
+        mesh = make_mesh(data_parallel=n_global, model_parallel=1,
+                         devices=devices)
 
     if args.mode == "loop":
         return run_full_loop(mesh, args)

@@ -76,13 +76,19 @@ def host_local_batch_to_global(mesh, batch_dict: dict) -> dict:
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # batch rows shard over every non-model mesh axis: a flat DP mesh
+    # contributes just "data"; a hierarchical DCN x ICI mesh ("dcn", "data")
+    # shards over both so XLA emits the hierarchical all-reduce
+    # (reduce-scatter on ICI, cross-pod exchange on DCN)
+    daxes = tuple(a for a in mesh.axis_names if a != "model")
+    batch_axes = daxes[0] if len(daxes) == 1 else daxes
     out = {}
     for k, v in batch_dict.items():
         if k == "t_max":
             out[k] = v
             continue
         arr = np.asarray(v)
-        sharding = NamedSharding(mesh, P("data", *([None] * (arr.ndim - 1))))
+        sharding = NamedSharding(mesh, P(batch_axes, *([None] * (arr.ndim - 1))))
         out[k] = jax.make_array_from_process_local_data(sharding, arr)
     return out
 
