@@ -38,7 +38,7 @@ DIMS = {"a": 48, "t": 96, "v": 48, "f4": 96}
 LENS = {"a": 9, "t": 7, "v": 5, "f4": 7}
 
 
-def _write_corpus(root, n_per_split=(6, 3, 8)):
+def _write_corpus(root, n_per_split=(6, 3, 8), text_variants=()):
     rng = np.random.default_rng(7)
     feat_dir = os.path.join(root, "features")
     corpora = {}
@@ -54,6 +54,16 @@ def _write_corpus(root, n_per_split=(6, 3, 8)):
                 arr = rng.normal(size=(LENS[feat], d)).astype(np.float32)
                 np.save(os.path.join(feat_dir, feat, clip + ".npy"), arr)
                 feats[feat] = arr
+            # ASR text variants: same shape, strongly perturbed values
+            # (whisper text features differ from gt — shell
+            # ..._inference.sh:6-9; 2 sigma so the variant MSE moves past
+            # the report's 4-decimal rounding)
+            for var in text_variants:
+                vdir = os.path.join(feat_dir, f"t({var})")
+                os.makedirs(vdir, exist_ok=True)
+                np.save(os.path.join(vdir, clip + ".npy"),
+                        feats["t"] + rng.normal(
+                            size=feats["t"].shape).astype(np.float32) * 2.0)
             clips[clip] = (feats, corpus[clip]["val"])
         corpora[f"{split}_corpus"] = corpus
     label_path = os.path.join(root, "labels.npz")
@@ -63,7 +73,8 @@ def _write_corpus(root, n_per_split=(6, 3, 8)):
 
 @pytest.mark.slow
 def test_parity_protocol_end_to_end(tmp_path, ref_model_module):
-    feat_dir, label_path, corpora, clips = _write_corpus(str(tmp_path))
+    feat_dir, label_path, corpora, clips = _write_corpus(
+        str(tmp_path), text_variants=("base.en_vad", "small.en_vad"))
 
     args = types.SimpleNamespace(input_dims=[DIMS["a"], DIMS["t"], DIMS["v"]])
     torch.manual_seed(3)
@@ -80,11 +91,14 @@ def test_parity_protocol_end_to_end(tmp_path, ref_model_module):
     )
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    savewhole_dir = os.path.join(str(tmp_path), "savewhole")
     proc = subprocess.run(
         [sys.executable, SCRIPT,
          "--ckpt", ckpt, "--label", label_path, "--features_dir", feat_dir,
          "--audio", "a", "--text", "t", "--video", "v", "--feat4", "f4",
-         "--batch_size", "128"],
+         "--batch_size", "128",
+         "--savewhole", savewhole_dir,
+         "--asr_variants", "base.en_vad,small.en_vad"],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
     )
     # random weights must NOT pass the published-parity gate
@@ -93,6 +107,28 @@ def test_parity_protocol_end_to_end(tmp_path, ref_model_module):
     blob = json.loads(line)
     assert blob["parity"] is False
     assert blob["published"] == {"full": 0.5060, "missing": 0.5503}
+
+    # --savewhole: the 8 released streams exist, shape-checked by the
+    # protocol itself (reference inference.py:163-175); the dump is on disk
+    n_test = len(corpora["test_corpus"])
+    sw = blob["savewhole_streams"]
+    assert set(sw) == {
+        "full_rep", "missing_rep", "full_rnc", "missing_rnc",
+        "text_rep_query_full", "text_rep_query_missing",
+        "text_rep_full", "text_rep_missing"}
+    assert sw["full_rep"] == [n_test, 128]
+    assert sw["full_rnc"] == [n_test, 64]
+    assert sw["text_rep_full"] == [n_test, 7, 128]
+    dump = np.load(os.path.join(savewhole_dir, "test_embeddings.npz"))
+    assert dump["full_rep"].shape == (n_test, 128)
+
+    # --asr_variants: one MSE row per whisper variant, differing from the
+    # gt-text row (the variant features are perturbed)
+    assert set(blob["asr_variants"]) == {"base.en_vad", "small.en_vad"}
+    for row in blob["asr_variants"].values():
+        assert row["mse_full"] > 0 and row["mse_missing"] > 0
+    assert (blob["asr_variants"]["base.en_vad"]["mse_full"]
+            != blob["mse_full"])
 
     # eager torch eval of the same checkpoint on the same test clips: all
     # lengths are fixed per modality, so no batch-max padding is needed and
