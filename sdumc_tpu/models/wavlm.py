@@ -275,13 +275,15 @@ class WavLMAttention(nn.Module):
             # embedding, so it is built ONCE here instead of once per layer
             # (at T=3000 that is ~50 MB of tile writes + the bucket-log
             # construction x24 saved); the [H, T, T] tensor is never built
-            from sdumc_tpu.ops.pallas.flash_wavlm import bias_tiles_for
+            from sdumc_tpu.ops.pallas.flash_wavlm import bias_tile_table
 
             blk = cfg.resolved_flash_block()
             n_tiles = -(-T // blk)
             # kernel-ready form (dtype + base-2 fold) is baked here ONCE;
-            # a per-layer cast of the ~90 MB table would re-stream it 24x
-            position_bias = (rel_embed, bias_tiles_for(
+            # a per-layer cast of the ~90 MB table would re-stream it 24x.
+            # bias_tile_table tags the fold state so flash_gated_attention
+            # asserts it against the call's kwargs (ADVICE r4)
+            position_bias = (rel_embed, bias_tile_table(
                 rel_embed, n_tiles, blk,
                 cfg.num_buckets, cfg.max_bucket_distance,
                 dtype=jnp.bfloat16 if jnp.dtype(cfg.dtype).itemsize == 2

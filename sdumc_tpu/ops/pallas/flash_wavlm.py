@@ -77,6 +77,66 @@ def bias_tiles_for(rel_embed: jnp.ndarray, n_tiles: int, block: int,
     return tiles.astype(dtype)
 
 
+@jax.tree_util.register_static
+class _TileMeta:
+    """Static fold-state tag carried next to a tile table (hashable)."""
+
+    def __init__(self, block: int, exp_base2: bool):
+        self.block, self.exp_base2 = block, exp_base2
+
+    def __eq__(self, o):
+        return (isinstance(o, _TileMeta)
+                and (self.block, self.exp_base2) == (o.block, o.exp_base2))
+
+    def __hash__(self):
+        return hash((self.block, self.exp_base2))
+
+
+class BiasTileTable(tuple):
+    """(tiles, _TileMeta) pair from :func:`bias_tile_table`: the kernel-ready
+    tile array plus the (block, exp_base2) fold state baked into it. A table
+    built with the wrong base-2 fold or block silently produces wrong
+    attention if passed as a raw array; carrying the fold state lets
+    flash_gated_attention assert consistency with its own kwargs (ADVICE
+    r4). Plain arrays are still accepted (shape-checked only)."""
+
+    def __new__(cls, tiles, block: int, exp_base2: bool):
+        return super().__new__(cls, (tiles, _TileMeta(block, exp_base2)))
+
+    @property
+    def tiles(self):
+        return self[0]
+
+    @property
+    def block(self):
+        return self[1].block
+
+    @property
+    def exp_base2(self):
+        return self[1].exp_base2
+
+
+def bias_tile_table(rel_embed, n_tiles, block, num_buckets, max_distance,
+                    dtype=jnp.float32, exp_base2: bool = False):
+    """bias_tiles_for plus the fold-state tag (see BiasTileTable)."""
+    return BiasTileTable(
+        bias_tiles_for(rel_embed, n_tiles, block, num_buckets, max_distance,
+                       dtype=dtype, exp_base2=exp_base2),
+        block, exp_base2)
+
+
+def _unwrap_tiles(bias_tiles, block, exp_base2):
+    """Verify a BiasTileTable's fold state against the call's kwargs and
+    return the raw array; pass plain arrays through."""
+    if isinstance(bias_tiles, BiasTileTable):
+        assert bias_tiles.block == block and bias_tiles.exp_base2 == exp_base2, (
+            f"bias tile table built for (block={bias_tiles.block}, "
+            f"exp_base2={bias_tiles.exp_base2}) passed to a call with "
+            f"(block={block}, exp_base2={exp_base2})")
+        return bias_tiles.tiles
+    return bias_tiles
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref,
                   out_ref, m_ref, l_ref, acc_ref, *, n_k, hd, bb, hb,
                   precision, exp_base2):
@@ -231,6 +291,7 @@ def flash_gated_attention(
         parity checks (HIGHEST + bf16 inputs is rejected by Mosaic).
     Returns [B, T, H, hd] (same dtype as q).
     """
+    bias_tiles = _unwrap_tiles(bias_tiles, block, exp_base2)
     B, T, H, hd = q.shape
     Tp = ((T + block - 1) // block) * block
     if kvalid is None:
@@ -476,6 +537,7 @@ def flash_gated_attention_trainable(
     shares them across layers). The backward recomputes softmax from
     ``rel_embed`` directly, so head_block/exp_base2 only shape the
     forward kernel."""
+    bias_tiles = _unwrap_tiles(bias_tiles, block, exp_base2)
     if kvalid is None:
         kvalid = jnp.ones(q.shape[:2], jnp.float32)
     if bias_tiles is None:
