@@ -48,10 +48,13 @@ def main(argv=None):
         p.add_argument("--src_dir", required=True)
         p.add_argument("--out_prefix", required=True)
         p.add_argument("--dtype", default="float32",
-                       choices=("float32", "bfloat16"),
+                       choices=("float32", "bfloat16", "int8"),
                        help="blob payload dtype; bfloat16 halves disk and "
                             "host-pipeline bytes (the production training "
-                            "path consumes bf16 features anyway)")
+                            "path consumes bf16 features anyway); int8 "
+                            "halves them again (per-clip per-channel "
+                            "scales, dequantized on device — see "
+                            "data/packed.py)")
         a = p.parse_args(rest)
         print(pack_features(a.src_dir, a.out_prefix, dtype=a.dtype))
         return 0

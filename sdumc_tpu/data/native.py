@@ -113,10 +113,19 @@ def fill_batch_packed(bin_path: str, entries: List[Tuple[int, int, int]],
         np_dtype, dt_code = np.dtype(np.int8), 2
     else:
         np_dtype, dt_code = np.dtype(np.float32), 0
-    b = len(entries)
-    offs = np.ascontiguousarray([e[0] for e in entries], np.int64)
-    rows = np.ascontiguousarray([e[1] for e in entries], np.int64)
-    cols = np.ascontiguousarray([e[2] for e in entries], np.int64)
+    if isinstance(entries, tuple) and len(entries) >= 3 and isinstance(
+            entries[0], np.ndarray):
+        # vectorized form: (offs, rows, cols) arrays from
+        # PackedSource.entry_arrays — no per-clip python tuples
+        offs = np.ascontiguousarray(entries[0], np.int64)
+        rows = np.ascontiguousarray(entries[1], np.int64)
+        cols = np.ascontiguousarray(entries[2], np.int64)
+        b = len(offs)
+    else:
+        b = len(entries)
+        offs = np.ascontiguousarray([e[0] for e in entries], np.int64)
+        rows = np.ascontiguousarray([e[1] for e in entries], np.int64)
+        cols = np.ascontiguousarray([e[2] for e in entries], np.int64)
     i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
     if out is None:
         out = np.empty((b, bucket, dim), np_dtype)

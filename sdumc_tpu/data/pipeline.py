@@ -174,15 +174,16 @@ class BatchIterator:
         scales = {}
         for key in ("audio", "text", "video", "feat4"):
             src = self.ds.sources[key]
-            lens = [src.length_of(n) for n in names]
-            tm = min(max(lens), self.buckets[-1])
+            ea = src.entry_arrays(names)   # (offs, rows, cols[, soffs])
+            lens = ea[1]
+            tm = int(min(lens.max(), self.buckets[-1]))
             bucket = bucket_for(tm, self.buckets)
             if use_ring:
                 slot = self._ring_slot(key, bucket, len(names), src._dtype)
-                entries = [tuple(src._index[n][:3]) for n in names]
                 batch, got = native_mod.fill_batch_packed(
-                    src._prefix + ".bin", entries, bucket, src.dim,
-                    dtype=src.dtype_name, out=slot[0], prev_lengths=slot[1])
+                    src._prefix + ".bin", (ea[0], ea[1], ea[2]), bucket,
+                    src.dim, dtype=src.dtype_name, out=slot[0],
+                    prev_lengths=slot[1])
                 slot[1] = got
             else:
                 batch, _ = fill_batch_from_packed(src, names, bucket, src.dim)
