@@ -391,7 +391,7 @@ def main(argv=None):
         # next-largest stream — int8 KV halves it. (This matrix is what
         # retired int4: 144.7 clip-tok/s at batch 8 with int8 KV vs 212.2
         # for int8 weights — VERDICT r3 item 3.)
-        for weights, batches in (("w8a8", (4, 8, 16, 32)), ("int8", (4, 8, 16, 32))):
+        for weights, batches in (("w8a8", (4, 8, 16, 32, 64)), ("int8", (4, 8, 16, 32))):
             key = f"feat4_{weights}_kv8"
             blob[key] = bench_feat4(batches=batches, quant=weights,
                                     kv_quant="int8")
