@@ -164,12 +164,18 @@ def main(argv=None):
             f.write("- verdict: HBM-bound — the step moves close to its "
                     "irreducible bytes at peak bandwidth.\n")
         else:
-            f.write(f"- verdict: NOT yet HBM-bound — {100 - pct:.0f}% of "
-                    "the gap is schedule overhead (op launches, layout "
-                    "passes, VPU transcendentals), so further traffic cuts "
-                    "or fusion wins are available. (The round-4 cost-"
-                    "analysis roofline said 115.8% of peak; this budget is "
-                    "the honest numerator.)\n")
+            f.write(f"- verdict: NOT yet at the IDEAL-schedule bound — the "
+                    f"{100 - pct:.0f}% gap is the difference between this "
+                    "floor's counting rule and XLA's real schedule. The "
+                    "round-5 HLO inspection (profiles/train_hlo_top.md) "
+                    "shows the largest fusions individually stream near "
+                    "peak bandwidth; the gap is extra backward re-reads "
+                    "(XLA re-reads saved operands per consuming dgrad "
+                    "fusion where the ideal count charges one) plus "
+                    "sub-100-us op launch tails — i.e. closing it needs "
+                    "remat-style recompute tradeoffs, not more fusion. "
+                    "(The round-4 cost-analysis roofline said 115.8% of "
+                    "peak; this budget is the honest numerator.)\n")
     print(open(out).read())
     print(f"wrote {out}")
 
