@@ -166,3 +166,21 @@ def test_batched_generate_matches_solo_runs(setup):
         np.testing.assert_allclose(
             np.asarray(batched["taps"][i])[:n], np.asarray(solo["taps"])[:n],
             rtol=1e-5, atol=1e-5, err_msg=f"clip {i}")
+
+
+@pytest.mark.fast
+def test_exact_topk_matches_lax_topk():
+    """exact_topk (argmax sweeps — the TPU-fast replacement for the decode
+    loop's sort-based lax.top_k) must match values AND indices, including
+    tie-breaking (equal values -> ascending index), across shapes/dtypes."""
+    from sdumc_tpu.models.generation import exact_topk
+
+    rng = np.random.default_rng(0)
+    for shape, k in (((4, 1000), 8), ((1, 33), 5), ((3, 64), 1)):
+        x = rng.normal(size=shape).astype(np.float32)
+        # inject ties
+        x[..., 1] = x[..., 0]
+        v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), k)
+        v_got, i_got = exact_topk(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(v_got), np.asarray(v_ref))
+        np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
