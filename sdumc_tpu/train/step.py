@@ -161,9 +161,14 @@ def make_train_step(model, loss_cfg: LossConfig, remat: bool = False):
     ``remat`` wraps the dual-view loss in jax.checkpoint: the backward
     recomputes the forward instead of reading saved activations. Measured
     on v5e at the live shapes it LOSES (12.7 -> 17.5 GB touched, 3985 ->
-    3067 clips/s): the step is HBM-bound and whole-loss recompute re-reads
-    the big [B, T, 1024/4096] feature tensors, which cost more than the
-    saved activations. Kept as an option for regimes where activations
+    3067 clips/s): whole-loss recompute re-reads the big
+    [B, T, 1024/4096] feature tensors, which cost more than the saved
+    activations. Round-5 re-check after the RnC/dropout fixes: the
+    SELECTIVE policy ``dots_with_no_batch_dims_saveable`` (save matmul
+    outputs, recompute elementwise) also loses, 19,750 -> 17,744 clips/s
+    — the recomputed elementwise chains re-stream the same [2B, T, 256]
+    tensors their saves would have held (profiles/hbm_budget.md's gap
+    attribution). Kept as an option for regimes where activations
     dominate features (deep stacks over short sequences); off by
     default."""
 
