@@ -1,2 +1,3 @@
 from sdumc_tpu.serve.export import (  # noqa: F401
-    ServingBundle, export_dual_view_eval, load_exported)
+    DecodeBundle, ServingBundle, export_beam_decode,
+    export_dual_view_eval, load_exported)

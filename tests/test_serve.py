@@ -76,3 +76,56 @@ def test_serving_bundle_roundtrip(tmp_path):
         assert False, "expected ValueError for unfittable lengths"
     except ValueError as e:
         assert "bucket" in str(e)
+
+
+@pytest.mark.slow
+def test_decode_bundle_roundtrip(tmp_path):
+    """The beam-decode extractor as exported StableHLO (DecodeBundle):
+    save -> load in a fresh object must reproduce the live
+    beam_generate_batched exactly (tokens, steps, taps), including the
+    left-pad prompt-bucket dispatch and partial clip batches."""
+    from sdumc_tpu.models.generation import beam_generate_batched
+    from sdumc_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+    from sdumc_tpu.serve.export import DecodeBundle
+
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    bundle = DecodeBundle.build(cfg, params, buckets=(8, 16), gen_batch=3,
+                                max_new_tokens=6, eos_id=2)
+    bundle.save(str(tmp_path / "decode_bundle"))
+    loaded = DecodeBundle.load(str(tmp_path / "decode_bundle"))
+
+    rng = np.random.default_rng(0)
+    # two clips (partial batch), lengths 5 and 7 -> bucket 8
+    prompts = [(rng.normal(size=(P, cfg.hidden_size)) * 0.5).astype(np.float32)
+               for P in (5, 7)]
+    out = loaded(prompts)
+    assert out["tokens"].shape == (2, 6)
+
+    # live engine on the same left-padded batch for the exact comparison
+    pe = np.zeros((3, 8, cfg.hidden_size), np.float32)
+    pl = np.ones((3,), np.int32)
+    for i, p in enumerate(prompts):
+        pe[i, 8 - p.shape[0]:] = p
+        pl[i] = p.shape[0]
+    live = beam_generate_batched(
+        lambda **kw: model.apply({"params": params}, **kw),
+        jnp.asarray(pe), cfg,
+        embed_fn=lambda ids: jnp.asarray(
+            params["model"]["embed_tokens"]["embedding"])[ids],
+        prompt_len=jnp.asarray(pl), num_beams=4, max_new_tokens=6, eos_id=2)
+    np.testing.assert_array_equal(out["tokens"], np.asarray(live["tokens"])[:2])
+    np.testing.assert_array_equal(out["n_steps"], np.asarray(live["n_steps"])[:2])
+    np.testing.assert_allclose(out["taps"], np.asarray(live["taps"])[:2],
+                               rtol=1e-5, atol=1e-5)
+
+    # dispatch: a 13-long prompt must pick bucket 16; an over-long one errors
+    out16 = loaded([(rng.normal(size=(13, cfg.hidden_size)) * 0.5
+                     ).astype(np.float32)])
+    assert out16["tokens"].shape == (1, 6)
+    with pytest.raises(ValueError):
+        loaded([np.zeros((17, cfg.hidden_size), np.float32)])
