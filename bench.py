@@ -240,7 +240,9 @@ def _host_feat_root() -> tuple:
     from sdumc_tpu.data.feature_store import SyntheticSource
     from sdumc_tpu.data.packed import pack_features
 
-    feat_root = "/tmp/sdumc_bench_feats"
+    # overridable for tests that shrink the module constants (the tiny
+    # corpus must not collide with the full bench's cached one)
+    feat_root = os.environ.get("SDUMC_BENCH_FEAT_ROOT", "/tmp/sdumc_bench_feats")
     names = [f"clip_{b}_{i}" for b in range(N_BATCHES) for i in range(BATCH_SIZE)]
     marker = os.path.join(feat_root, ".complete_v4")
     if not os.path.exists(marker):
