@@ -129,3 +129,36 @@ def test_decode_bundle_roundtrip(tmp_path):
     assert out16["tokens"].shape == (1, 6)
     with pytest.raises(ValueError):
         loaded([np.zeros((17, cfg.hidden_size), np.float32)])
+
+
+@pytest.mark.slow
+def test_decode_export_cli(tmp_path):
+    """python -m sdumc_tpu.cli.export --decode builds a loadable
+    DecodeBundle straight from an HF checkpoint dir (the reference's
+    Vicuna layout), including the scan-layers restack."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM as HFLlama
+
+    hf_cfg = HFConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, eos_token_id=2, bos_token_id=1,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    hf = HFLlama(hf_cfg)
+    llm_dir = str(tmp_path / "hf_llama")
+    hf.save_pretrained(llm_dir)
+
+    from sdumc_tpu.cli.export import main as export_main
+    from sdumc_tpu.serve.export import DecodeBundle
+
+    out_dir = str(tmp_path / "bundle")
+    export_main(["--decode", "--llm_dir", llm_dir, "--out_dir", out_dir,
+                 "--prompt_buckets", "8", "--gen_batch", "2",
+                 "--max_new_tokens", "4", "--platforms", "native"])
+    bundle = DecodeBundle.load(out_dir)
+    rng = np.random.default_rng(0)
+    out = bundle([(rng.normal(size=(5, 48)) * 0.5).astype(np.float32)])
+    assert out["tokens"].shape == (1, 4)
+    assert int(out["n_steps"][0]) >= 1
