@@ -6,18 +6,19 @@ HBM — no hardware bound — and the round-4 sweep blamed "VPU exp
 throughput over [blk, blk] scores" without measuring what that floor IS.
 This script:
 
-  1. measures the chip's elementwise rates (elems/s) on standalone jitted
-     programs: plain multiply (the HBM-streaming baseline), exp, and a
-     fused exp(x-max)-style chain approximating the kernel's per-tile
-     softmax work, in f32 and bf16;
-  2. computes the kernel's exp-floor model: the long8 regime pushes
-     B*H*Tp^2 score elements per layer x 24 layers through one exp pass;
+  1. measures the chip's elementwise rates (elems/s) INSIDE one jitted
+     fori_loop program — one-pass-per-iteration for the HBM-streaming
+     rate, the op composed 8x per iteration for the in-register VPU rate
+     (dispatch-per-op measures the tunnel: ~12 Gelem/s for a multiply);
+  2. computes the kernel's VPU-floor model: the long8 regime pushes
+     B*H*Tp^2 score elements per layer x 24 layers through ~3 plain
+     element-ops + 1 exp each, all VMEM-resident;
   3. times the actual long8 flash encoder call and reports measured wall
      vs the floor model — near 1 means the kernel is at the VPU
-     transcendental wall and further schedule tuning cannot pay;
+     softmax wall and further schedule tuning cannot pay;
   4. re-times the kernel at the untried levers the verdict named
-     (wider query tiles via block=1024, deeper head packing) under
-     hard-sync barriers.
+     (wider query tiles via block=1024, deeper head packing, exp_base2)
+     under hard-sync barriers.
 
 Writes profiles/flash_tune_r5.md.  Run on the TPU (one client at a time).
 """
