@@ -251,32 +251,35 @@ def beam_generate_batched(
         cand_tok = (top_idx % V).astype(jnp.int32)
         is_eos = cand_tok == eos_id
 
-        # ---- EOS candidates ranked < B enter the hypothesis pool
+        # ---- EOS candidates ranked < B enter the hypothesis pool.
+        # HF pushes them SEQUENTIALLY, each replacing the current worst if
+        # strictly better — which equals one top-B merge of (pool ∪
+        # pushable candidates) with ties resolved pool-first then by
+        # candidate rank (a boundary tie never evicts an incumbent and an
+        # earlier candidate wins over a later equal one — exactly
+        # exact_topk's first-index tie rule over [pool | candidates]).
+        # The 2B-iteration fori_loop this replaces was measurable per-step
+        # serial overhead in the decode profile.
         cur_len = s.step.astype(jnp.float32)  # generated length incl. this EOS? HF: cur_len tokens before eos
         hyp_cand_score = top_vals / (cur_len[:, None] ** lp)        # [C, 2B]
         rank = jnp.arange(2 * B)
         push = jnp.logical_and(jnp.logical_and(is_eos, rank[None] < B),
                                live[:, None])
 
-        def push_one(i, carry):
-            hs_, ht_, hl_ = carry
-            worst = jnp.argmin(hs_, axis=1)                         # [C]
-            worst_val = hs_[cidx, worst]
-            better = jnp.logical_and(push[:, i],
-                                     hyp_cand_score[:, i] > worst_val)
-            seq = jnp.take_along_axis(
-                s.tokens, cand_beam[:, i][:, None, None], axis=1)[:, 0]
-            hs_ = hs_.at[cidx, worst].set(
-                jnp.where(better, hyp_cand_score[:, i], worst_val))
-            ht_ = ht_.at[cidx, worst].set(
-                jnp.where(better[:, None], seq, ht_[cidx, worst]))
-            hl_ = hl_.at[cidx, worst].set(
-                jnp.where(better, s.step, hl_[cidx, worst]))
-            return hs_, ht_, hl_
-
-        hyp_scores, hyp_tokens, hyp_lens = jax.lax.fori_loop(
-            0, 2 * B, push_one, (s.hyp_scores, s.hyp_tokens, s.hyp_lens)
-        )
+        cand_scores = jnp.where(push, hyp_cand_score, NEG)          # [C, 2B]
+        merged = jnp.concatenate([s.hyp_scores, cand_scores], axis=1)
+        hyp_scores, sel_idx = exact_topk(merged, B)                 # [C, B]
+        # candidate i's hypothesis = the pre-update tokens of its origin
+        # beam (the EOS itself is not stored — HF records cur_len tokens)
+        cand_seqs = jnp.take_along_axis(
+            s.tokens, cand_beam[:, :, None], axis=1)                # [C, 2B, N]
+        all_tokens = jnp.concatenate([s.hyp_tokens, cand_seqs], axis=1)
+        hyp_tokens = jnp.take_along_axis(
+            all_tokens, sel_idx[:, :, None], axis=1)
+        all_lens = jnp.concatenate(
+            [s.hyp_lens, jnp.broadcast_to(s.step[:, None], (C, 2 * B))],
+            axis=1)
+        hyp_lens = jnp.take_along_axis(all_lens, sel_idx, axis=1)
 
         # ---- first B non-EOS candidates continue as running beams
         live_rank = jnp.cumsum(
